@@ -1,0 +1,76 @@
+"""Benchmark: train-step throughput of the flagship (histogram) model.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Measures the full histogram-variant train step (G fwd + both D passes +
+histogram loss + both backward passes + two Adam updates) at large batch on
+one chip, compile time excluded, steps blocked on completion.
+`vs_baseline` is the ratio against the north-star target of 20,000
+images/sec/chip (BASELINE.json; the reference publishes no numbers of its
+own — BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NORTH_STAR = 20000.0
+
+
+def main():
+    batch = int(os.environ.get("PHG_BENCH_BATCH", "256"))
+    steps = int(os.environ.get("PHG_BENCH_STEPS", "30"))
+    dtype = os.environ.get("PHG_BENCH_DTYPE", "bfloat16")
+
+    from palette_and_histo_gan_tpu.config import config_for_variant
+    from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
+    from palette_and_histo_gan_tpu.train.steps import rgba_train_step
+
+    config = config_for_variant(
+        "histogram", compute_dtype=dtype, batch_size=batch, donate_state=False
+    )
+    models = build_models(config)
+    state = create_train_state(config, models, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.uniform(0, 255, (batch, 64, 64, 4)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(0, 255, (batch, 64, 64, 4)), jnp.float32)
+
+    from functools import partial
+
+    step_fn = jax.jit(partial(rgba_train_step, config, models), donate_argnums=(0,))
+
+    # compile + warmup
+    state, _ = step_fn(state, src, tgt)
+    state, _ = step_fn(state, src, tgt)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, src, tgt)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"images/sec/chip (64x64 histogram-pix2pix train step, batch {batch}, {dtype})",
+                "value": round(images_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(images_per_sec / NORTH_STAR, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

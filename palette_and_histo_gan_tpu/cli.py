@@ -1,0 +1,107 @@
+"""Command-line experiment driver.
+
+The reference's only entry point is a notebook (experiments.ipynb); this CLI
+exposes the same knobs (model variant, directions, palette ordering, lambdas,
+epochs, callbacks — cells 5, 9, 10, 12) as flags, plus TPU-specific ones.
+
+    python -m palette_and_histo_gan_tpu.cli --model histogram \
+        --source front --target right --epochs 160 \
+        --callbacks evaluate_l1 evaluate_fid
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .config import DIRECTIONS, MODEL_VARIANTS, PALETTE_ORDERINGS, config_for_variant
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="phg-train",
+        description="TPU-native palette-and-histo-gan trainer",
+    )
+    p.add_argument("--model", choices=MODEL_VARIANTS, default="baseline-no-aug")
+    p.add_argument("--source", choices=DIRECTIONS, default="front")
+    p.add_argument("--target", choices=DIRECTIONS, default="right")
+    p.add_argument("--palette-ordering", choices=PALETTE_ORDERINGS, default="grayness")
+    p.add_argument("--lambda-l1", type=float, default=None)
+    p.add_argument("--lambda-histogram", type=float, default=None)
+    p.add_argument("--lambda-segmentation", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=160)
+    p.add_argument("--steps", type=int, default=None, help="override epoch-derived steps")
+    p.add_argument("--update-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--seed", type=int, default=47)
+    p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument(
+        "--callbacks",
+        nargs="*",
+        default=[],
+        choices=["show_discriminator_output", "evaluate_l1", "evaluate_fid"],
+    )
+    p.add_argument("--resume", action="store_true", help="restore latest checkpoint")
+    p.add_argument("--save-weights", action="store_true")
+    p.add_argument("--generate-images", action="store_true")
+    return p
+
+
+def config_from_args(args) -> "Config":
+    overrides = dict(
+        source_direction=DIRECTIONS.index(args.source),
+        target_direction=DIRECTIONS.index(args.target),
+        palette_ordering=args.palette_ordering,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        compute_dtype=args.compute_dtype,
+    )
+    if args.lambda_l1 is not None:
+        overrides["lambda_l1"] = args.lambda_l1
+    if args.lambda_histogram is not None:
+        overrides["lambda_histogram"] = args.lambda_histogram
+    if args.lambda_segmentation is not None:
+        overrides["lambda_segmentation"] = args.lambda_segmentation
+    if args.data_root is not None:
+        overrides["data_root"] = args.data_root
+    return config_for_variant(args.model, **overrides)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    config = config_from_args(args)
+
+    from .train.trainer import Trainer
+
+    trainer = Trainer(config)
+    starting_step = 0
+    if args.resume:
+        starting_step = trainer.restore_latest_checkpoint()
+        print(f"Resumed from step {starting_step}")
+
+    steps = args.steps if args.steps is not None else config.steps
+    update_steps = (
+        args.update_steps if args.update_steps is not None else config.update_steps
+    )
+    print(
+        f"Starting training for {config.model} ({config.architecture_name}): "
+        f"{steps} steps, updating every {update_steps}..."
+    )
+    trainer.fit(
+        steps - starting_step,
+        update_steps,
+        callbacks=list(args.callbacks),
+        starting_step=starting_step,
+    )
+
+    if args.save_weights:
+        trainer.save_generator()
+        trainer.save_discriminator()
+    if args.generate_images:
+        trainer.generate_images_from_dataset("test")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

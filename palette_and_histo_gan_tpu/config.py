@@ -1,0 +1,189 @@
+"""Configuration for the TPU-native palette-and-histo-gan framework.
+
+Replaces the reference's star-imported constants module
+(/root/reference/configuration.py:1-35) and the notebook-cell knobs
+(/root/reference/experiments.ipynb cells 5, 9, 10) with a frozen dataclass
+that is hashable, so it can be closed over by jitted functions as a static
+argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Tuple
+
+# ---------------------------------------------------------------------------
+# Dataset-level constants (reference: configuration.py:4-34)
+# ---------------------------------------------------------------------------
+
+SEED = 47
+
+DIRECTIONS = ("back", "left", "front", "right")
+DIRECTION_BACK = 0
+DIRECTION_LEFT = 1
+DIRECTION_FRONT = 2
+DIRECTION_RIGHT = 3
+DIRECTION_FOLDERS = tuple(f"{i}-{name}" for i, name in enumerate(DIRECTIONS))
+
+DATASET_SIZES = (294,)
+DATASET_SIZE = sum(DATASET_SIZES)
+TRAIN_PERCENTAGE = 0.85
+TRAIN_SIZES = tuple(math.ceil(n * TRAIN_PERCENTAGE) for n in DATASET_SIZES)
+TRAIN_SIZE = sum(TRAIN_SIZES)  # 250
+TEST_SIZES = tuple(
+    DATASET_SIZES[i] - TRAIN_SIZES[i] for i in range(len(DATASET_SIZES))
+)
+TEST_SIZE = sum(TEST_SIZES)  # 44
+
+BATCH_SIZE = 4
+IMG_SIZE = 64
+INPUT_CHANNELS = 4
+OUTPUT_CHANNELS = 4
+
+MAX_PALETTE_SIZE = 256
+# hotpink filler for unused palette slots (reference: configuration.py:32)
+INVALID_INDEX_COLOR = (255, 0, 220, 255)
+
+TEMP_FOLDER = "temp-side2side"
+
+MODEL_VARIANTS = ("baseline-no-aug", "baseline", "indexed", "histogram")
+PALETTE_ORDERINGS = ("top2bottom", "bottom2top", "grayness", "shuffled")
+
+
+def default_data_root() -> str:
+    """Dataset root; the reference vendors it under datasets/rpg-maker-xp."""
+    env = os.environ.get("PHG_DATA_ROOT")
+    if env:
+        return env
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = [
+        os.path.join(here, "datasets", "rpg-maker-xp"),
+        "/root/reference/datasets/rpg-maker-xp",
+    ]
+    for c in candidates:
+        if os.path.isdir(c):
+            return c
+    return candidates[0]
+
+
+# ---------------------------------------------------------------------------
+# Experiment config (reference: experiments.ipynb cells 5, 9, 10)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All knobs of the reference experiments, plus TPU-specific ones.
+
+    Reference hyperparameters (experiments.ipynb cell 9):
+      - baseline (no aug.) / baseline: lambda_l1=100
+      - histogram:                     lambda_l1=30,  lambda_histogram=1
+      - indexed:                       lambda_segmentation=0.01 (lambda_l1=0)
+    """
+
+    model: str = "baseline-no-aug"  # one of MODEL_VARIANTS
+    source_direction: int = DIRECTION_FRONT
+    target_direction: int = DIRECTION_RIGHT
+    palette_ordering: str = "grayness"  # for the indexed variant
+
+    # losses
+    lambda_l1: float = 100.0
+    lambda_histogram: float = 1.0
+    lambda_segmentation: float = 0.01
+
+    # optimizer (reference: pix2pix_model.py:28-29; keras Adam eps default 1e-7)
+    learning_rate: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    adam_eps: float = 1e-7
+
+    # schedule (reference: experiments.ipynb cell 10)
+    epochs: int = 160
+    batch_size: int = BATCH_SIZE
+    seed: int = SEED
+
+    # data
+    img_size: int = IMG_SIZE
+    input_channels: int = INPUT_CHANNELS
+    output_channels: int = OUTPUT_CHANNELS
+    augment_probability: float = 0.8
+    data_root: str = dataclasses.field(default_factory=default_data_root)
+
+    # histogram loss (reference: histogram.py:36)
+    histogram_size: int = 64
+    histogram_method: str = "inverse-quadratic"
+    histogram_sigma: float = 0.02
+
+    # TPU-specific
+    compute_dtype: str = "float32"  # "float32" or "bfloat16" for conv compute
+    data_axis: str = "data"  # DP mesh axis name
+    donate_state: bool = True
+
+    # bookkeeping
+    temp_folder: str = TEMP_FOLDER
+
+    @property
+    def architecture_name(self) -> str:
+        return (
+            f"{DIRECTIONS[self.source_direction]}-to-"
+            f"{DIRECTIONS[self.target_direction]}"
+        )
+
+    @property
+    def steps(self) -> int:
+        """ceil(TRAIN_SIZE / batch) * epochs (experiments.ipynb cell 10)."""
+        return math.ceil(TRAIN_SIZE / self.batch_size) * self.epochs
+
+    @property
+    def update_steps(self) -> int:
+        return max(self.steps // 40, 1)
+
+    @property
+    def is_indexed(self) -> bool:
+        return self.model == "indexed"
+
+    @property
+    def generator_in_channels(self) -> int:
+        return 1 if self.is_indexed else self.input_channels
+
+    @property
+    def generator_out_channels(self) -> int:
+        return MAX_PALETTE_SIZE if self.is_indexed else self.output_channels
+
+    @property
+    def generator_last_activation(self) -> str:
+        return "softmax" if self.is_indexed else "tanh"
+
+    @property
+    def discriminator_in_channels(self) -> int:
+        return 1 if self.is_indexed else self.input_channels
+
+    @property
+    def effective_lambda_l1(self) -> float:
+        # the indexed variant forces lambda_l1 to 0 (pix2pix_model.py:263)
+        return 0.0 if self.is_indexed else self.lambda_l1
+
+    @property
+    def uses_augmentation(self) -> bool:
+        return self.model in ("baseline", "histogram")
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def config_for_variant(variant: str, **overrides) -> Config:
+    """Build the per-variant config exactly as experiments.ipynb cell 9 does."""
+    if variant not in MODEL_VARIANTS:
+        raise ValueError(f"unknown variant {variant!r}; use one of {MODEL_VARIANTS}")
+    base = dict(model=variant)
+    if variant == "histogram":
+        base["lambda_l1"] = 30.0
+        base["lambda_histogram"] = 1.0
+    elif variant == "indexed":
+        base["lambda_segmentation"] = 0.01
+    else:
+        base["lambda_l1"] = 100.0
+    base.update(overrides)
+    return Config(**base)

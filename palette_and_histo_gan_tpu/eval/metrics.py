@@ -1,0 +1,82 @@
+"""Quantitative evaluation metrics (L1) and batched example generation.
+
+Mirrors S2SModel.report_l1 / evaluate_l1 (side2side_model.py:162-176,
+pix2pix_model.py:124-125). Where the reference generates evaluation images
+one at a time with batch-1 generator calls (pix2pix_model.py:112-122), this
+path generates the whole split in one jitted batched call on device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.loader import IndexedDataset, RgbaDataset
+from ..ops.image import normalize
+from ..ops.palette import indexed_to_rgba
+from ..train.state import Models, TrainState
+from ..train.steps import make_generate_fn
+
+
+def evaluate_l1(real_images: jnp.ndarray, fake_images: jnp.ndarray) -> jnp.ndarray:
+    """mean |fake - real| (pix2pix_model.py:124-125)."""
+    return jnp.mean(jnp.abs(fake_images - real_images))
+
+
+def generate_split_rgba(
+    config: Config,
+    models: Models,
+    state: TrainState,
+    ds: RgbaDataset,
+    num_images: int,
+    rng: jax.Array,
+):
+    """(real, fake) [-1, 1] arrays for the first `num_images` of a split.
+
+    The reference's select_examples_for_evaluation takes the first N dataset
+    elements with the generator in training mode (dropout active); batched
+    here instead of one-by-one.
+    """
+    src = normalize(ds.sources[:num_images])
+    real = normalize(ds.targets[:num_images])
+    gen_fn = make_generate_fn(config, models)
+    fake = gen_fn(state.g_params, src, rng)
+    return real, fake
+
+
+def generate_split_indexed(
+    config: Config,
+    models: Models,
+    state: TrainState,
+    ds: IndexedDataset,
+    num_images: int,
+    rng: jax.Array,
+):
+    """(real, fake) RGBA [0, 255] via per-pair palettes
+    (pix2pix_model.py:433-452)."""
+    src = ds.sources[:num_images]
+    gen_fn = make_generate_fn(config, models)
+    fake_idx = gen_fn(state.g_params, src, rng)
+    real_idx = ds.targets[:num_images]
+    palettes = ds.palettes[:num_images]
+    decode = jax.jit(jax.vmap(indexed_to_rgba))
+    return (
+        decode(real_idx, palettes).astype(jnp.float32),
+        decode(fake_idx, palettes).astype(jnp.float32),
+    )
+
+
+def generate_split(config, models, state, ds, num_images, rng):
+    if config.is_indexed:
+        return generate_split_indexed(config, models, state, ds, num_images, rng)
+    return generate_split_rgba(config, models, state, ds, num_images, rng)
+
+
+def report_l1(config, models, state, train_ds, test_ds, num_images, rng):
+    """(train_l1, test_l1) over the first num_images of each split
+    (side2side_model.py:162-166)."""
+    k1, k2 = jax.random.split(rng)
+    r_train, f_train = generate_split(config, models, state, train_ds, num_images, k1)
+    r_test, f_test = generate_split(config, models, state, test_ds, num_images, k2)
+    return float(evaluate_l1(r_train, f_train)), float(evaluate_l1(r_test, f_test))

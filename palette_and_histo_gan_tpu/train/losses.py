@@ -1,0 +1,59 @@
+"""GAN losses with keras-parity reductions.
+
+The reference uses tf.keras.losses.BinaryCrossentropy(from_logits=True)
+(pix2pix_model.py:19) and CategoricalCrossentropy(from_logits=False)
+(pix2pix_model.py:265). Both reduce per-element losses by a mean over the
+last axis and then a mean over everything else — numerically equal to a plain
+mean over all elements; golden-tested against keras in tests/test_losses.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+KERAS_EPSILON = 1e-7  # keras backend epsilon, used by its prob-input CCE
+
+
+def bce_with_logits(labels: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    """Mean sigmoid cross-entropy, keras BinaryCrossentropy(from_logits=True)."""
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+
+
+def categorical_crossentropy_probs(
+    y_true: jnp.ndarray, probs: jnp.ndarray
+) -> jnp.ndarray:
+    """keras CategoricalCrossentropy(from_logits=False) on probabilities.
+
+    keras renormalizes the prob vector, clips to [eps, 1-eps], then takes
+    -sum(y_true * log(p)) over the class axis and a mean over the rest.
+    """
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    probs = jnp.clip(probs, KERAS_EPSILON, 1.0 - KERAS_EPSILON)
+    per_example = -jnp.sum(y_true * jnp.log(probs), axis=-1)
+    return jnp.mean(per_example)
+
+
+def generator_loss(
+    fake_predicted: jnp.ndarray,
+    fake_image: jnp.ndarray,
+    real_image: jnp.ndarray,
+    lambda_l1: float,
+) -> dict:
+    """Baseline generator loss (pix2pix_model.py:44-49)."""
+    adversarial = bce_with_logits(jnp.ones_like(fake_predicted), fake_predicted)
+    l1 = jnp.mean(jnp.abs(real_image - fake_image))
+    return {
+        "total_loss": adversarial + lambda_l1 * l1,
+        "adversarial_loss": adversarial,
+        "l1_loss": l1,
+    }
+
+
+def discriminator_loss(
+    real_predicted: jnp.ndarray, fake_predicted: jnp.ndarray
+) -> dict:
+    """PatchGAN discriminator loss (pix2pix_model.py:51-56)."""
+    real = bce_with_logits(jnp.ones_like(real_predicted), real_predicted)
+    fake = bce_with_logits(jnp.zeros_like(fake_predicted), fake_predicted)
+    return {"total_loss": fake + real, "real_loss": real, "fake_loss": fake}

@@ -1,0 +1,88 @@
+"""Train state: a single pytree holding both networks and optimizer states.
+
+Replaces the reference's object soup (two keras models, two tf.keras Adam
+optimizers, and a tf.train.Checkpoint wiring them together,
+pix2pix_model.py:17-36) with one immutable flax.struct pytree that jits,
+donates, shards, and checkpoints as a unit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+from ..models.networks import (
+    PatchDiscriminator,
+    UnetGenerator,
+    build_discriminator,
+    build_generator,
+)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # () int32
+    g_params: Any
+    d_params: Any
+    g_opt_state: Any
+    d_opt_state: Any
+    rng: jax.Array
+
+
+class Models(NamedTuple):
+    """Static (non-pytree) companions of a TrainState."""
+
+    generator: UnetGenerator
+    discriminator: PatchDiscriminator
+    g_tx: optax.GradientTransformation
+    d_tx: optax.GradientTransformation
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    """Adam(2e-4, beta1=0.5) x2 (pix2pix_model.py:28-29; keras eps 1e-7)."""
+    return optax.adam(
+        config.learning_rate,
+        b1=config.beta1,
+        b2=config.beta2,
+        eps=config.adam_eps,
+    )
+
+
+def build_models(config: Config) -> Models:
+    return Models(
+        generator=build_generator(config),
+        discriminator=build_discriminator(config),
+        g_tx=make_optimizer(config),
+        d_tx=make_optimizer(config),
+    )
+
+
+def create_train_state(config: Config, models: Models, rng: jax.Array) -> TrainState:
+    """Initialize both networks and optimizer states."""
+    k_g, k_d, k_state = jax.random.split(rng, 3)
+    img = config.img_size
+    g_in = jnp.zeros((1, img, img, config.generator_in_channels), jnp.float32)
+    d_in = jnp.zeros((1, img, img, config.discriminator_in_channels), jnp.float32)
+
+    g_vars = models.generator.init(k_g, g_in, deterministic=True)
+    d_vars = models.discriminator.init(k_d, d_in, d_in)
+    g_params = g_vars["params"]
+    d_params = d_vars["params"]
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=models.g_tx.init(g_params),
+        d_opt_state=models.d_tx.init(d_params),
+        rng=k_state,
+    )
+
+
+def param_count(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

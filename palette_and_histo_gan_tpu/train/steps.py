@@ -1,0 +1,278 @@
+"""Jitted train steps for the four model variants.
+
+Replaces the reference's tf.GradientTape train_steps
+(/root/reference/pix2pix_model.py:62-89 and :295-325) with pure functions:
+the persistent-tape + two-gradient structure becomes one
+`jax.value_and_grad` for the generator (whose aux output carries the fake
+image, so the generator forward runs once) and one for the discriminator on
+the stop-gradient'ed fake.
+
+Variant semantics (SURVEY.md §2 #12-15):
+  - baseline / baseline-no-aug: G = BCE(1, D(fake)) + lambda_l1 * L1
+  - histogram: + lambda_hist * Hellinger(hist(real), hist(fake)), lambda_l1=30
+  - indexed: G input/output are palette-index maps; D sees raw index maps;
+    argmax is non-differentiable so the adversarial term carries no gradient
+    to G (faithfully reproduced — only the CCE segmentation term trains G);
+    lambda_l1 forced to 0
+
+Augmentation and normalization run *inside* the step on raw [0, 255] device-
+resident batches, so the whole training path is one XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import MAX_PALETTE_SIZE, Config
+from ..ops import augment as augment_ops
+from ..ops import histogram as hist_ops
+from ..ops.image import normalize
+from .losses import (
+    bce_with_logits,
+    categorical_crossentropy_probs,
+    discriminator_loss,
+    generator_loss,
+)
+from .state import Models, TrainState
+
+
+def _apply_generator(models: Models, params, source, rng):
+    """Generator forward with dropout active, as the reference always runs it
+    (training=True everywhere, pix2pix_model.py:60,67)."""
+    return models.generator.apply(
+        {"params": params}, source, deterministic=False, rngs={"dropout": rng}
+    )
+
+
+def _apply_discriminator(models: Models, params, target, source):
+    return models.discriminator.apply({"params": params}, target, source)
+
+
+def _optimizer_updates(models: Models, state: TrainState, g_grads, d_grads, rng):
+    g_updates, g_opt_state = models.g_tx.update(
+        g_grads, state.g_opt_state, state.g_params
+    )
+    d_updates, d_opt_state = models.d_tx.update(
+        d_grads, state.d_opt_state, state.d_params
+    )
+    return TrainState(
+        step=state.step + 1,
+        g_params=optax.apply_updates(state.g_params, g_updates),
+        d_params=optax.apply_updates(state.d_params, d_updates),
+        g_opt_state=g_opt_state,
+        d_opt_state=d_opt_state,
+        rng=rng,
+    )
+
+
+# ---------------------------------------------------------------------------
+# RGBA variants (baseline, baseline-no-aug, histogram)
+# ---------------------------------------------------------------------------
+
+
+def rgba_train_step(
+    config: Config, models: Models, state: TrainState, source, target
+):
+    """One optimization step on a raw [0, 255] float32 RGBA batch."""
+    rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+
+    if config.uses_augmentation:
+        source, target = augment_ops.augment_batch(
+            source, target, k_aug, config.augment_probability
+        )
+    source = normalize(source)
+    target = normalize(target)
+
+    use_hist = config.model == "histogram"
+
+    def g_loss_fn(g_params):
+        fake = _apply_generator(models, g_params, source, k_drop)
+        fake_pred = _apply_discriminator(models, state.d_params, fake, source)
+        metrics = generator_loss(fake_pred, fake, target, config.effective_lambda_l1)
+        if use_hist:
+            real_hist = hist_ops.calculate_rgbuv_histogram(
+                target,
+                size=config.histogram_size,
+                method=config.histogram_method,
+                sigma=config.histogram_sigma,
+            )
+            fake_hist = hist_ops.calculate_rgbuv_histogram(
+                fake,
+                size=config.histogram_size,
+                method=config.histogram_method,
+                sigma=config.histogram_sigma,
+            )
+            h_loss = hist_ops.hellinger_loss(real_hist, fake_hist)
+            metrics = dict(metrics, histogram_loss=h_loss)
+            metrics["total_loss"] = (
+                metrics["total_loss"] + config.lambda_histogram * h_loss
+            )
+        return metrics["total_loss"], (metrics, fake)
+
+    (_, (g_metrics, fake)), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+        state.g_params
+    )
+
+    fake_sg = jax.lax.stop_gradient(fake)
+
+    def d_loss_fn(d_params):
+        real_pred = _apply_discriminator(models, d_params, target, source)
+        fake_pred = _apply_discriminator(models, d_params, fake_sg, source)
+        metrics = discriminator_loss(real_pred, fake_pred)
+        return metrics["total_loss"], metrics
+
+    (_, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        state.d_params
+    )
+
+    new_state = _optimizer_updates(models, state, g_grads, d_grads, rng)
+    metrics = {f"generator/{k}": v for k, v in g_metrics.items()}
+    metrics.update({f"discriminator/{k}": v for k, v in d_metrics.items()})
+    return new_state, metrics
+
+
+# ---------------------------------------------------------------------------
+# Indexed variant
+# ---------------------------------------------------------------------------
+
+
+def indexed_train_step(
+    config: Config, models: Models, state: TrainState, source_idx, target_idx
+):
+    """One step on palette-index maps (pix2pix_model.py:295-325).
+
+    D consumes raw index maps cast to float (values 0..255); the G adversarial
+    term flows through an argmax and therefore contributes no generator
+    gradient — only lambda_seg * CCE trains G, as in the reference.
+    """
+    rng, k_drop = jax.random.split(state.rng)
+
+    source = source_idx.astype(jnp.float32)  # (B, H, W, 1), raw index scale
+    real = target_idx.astype(jnp.float32)
+    onehot = jax.nn.one_hot(target_idx[..., 0], MAX_PALETTE_SIZE, dtype=jnp.float32)
+
+    def g_loss_fn(g_params):
+        probs = _apply_generator(models, g_params, source, k_drop)
+        fake_idx = jnp.argmax(probs, axis=-1)[..., None].astype(jnp.float32)
+        fake_pred = _apply_discriminator(models, state.d_params, fake_idx, source)
+        adversarial = bce_with_logits(jnp.ones_like(fake_pred), fake_pred)
+        l1 = jnp.mean(jnp.abs(onehot - probs))  # lambda_l1 is 0; logged only
+        seg = categorical_crossentropy_probs(onehot, probs)
+        total = (
+            adversarial
+            + config.effective_lambda_l1 * l1
+            + config.lambda_segmentation * seg
+        )
+        metrics = {
+            "total_loss": total,
+            "adversarial_loss": adversarial,
+            "l1_loss": l1,
+            "segmentation_loss": seg,
+        }
+        return total, (metrics, fake_idx)
+
+    (_, (g_metrics, fake_idx)), g_grads = jax.value_and_grad(
+        g_loss_fn, has_aux=True
+    )(state.g_params)
+
+    fake_sg = jax.lax.stop_gradient(fake_idx)
+
+    def d_loss_fn(d_params):
+        real_pred = _apply_discriminator(models, d_params, real, source)
+        fake_pred = _apply_discriminator(models, d_params, fake_sg, source)
+        metrics = discriminator_loss(real_pred, fake_pred)
+        return metrics["total_loss"], metrics
+
+    (_, d_metrics), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+        state.d_params
+    )
+
+    new_state = _optimizer_updates(models, state, g_grads, d_grads, rng)
+    metrics = {f"generator/{k}": v for k, v in g_metrics.items()}
+    metrics.update({f"discriminator/{k}": v for k, v in d_metrics.items()})
+    return new_state, metrics
+
+
+# ---------------------------------------------------------------------------
+# Step factories
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(config: Config, models: Models) -> Callable:
+    """Jitted (state, *batch) -> (state, metrics); donates the state buffers."""
+    if config.is_indexed:
+        fn = partial(indexed_train_step, config, models)
+    else:
+        fn = partial(rgba_train_step, config, models)
+    return jax.jit(fn, donate_argnums=(0,) if config.donate_state else ())
+
+
+def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Callable:
+    """Many steps fused into one XLA program via lax.scan.
+
+    (state, dataset_arrays, data_key, num_steps) -> (state, stacked_metrics)
+
+    The device-resident dataset is a tuple of arrays with leading dim
+    `dataset_size`; each scan iteration derives its batch from the
+    epoch-permutation sampler (data.loader.batch_indices) keyed by the global
+    step carried in the state — so a training run is a handful of XLA
+    dispatches instead of one per step (the reference dispatches a tf.function
+    per step plus per-step host logging, side2side_model.py:73-118).
+    """
+    from ..data.loader import batch_indices
+
+    step_fn = (
+        partial(indexed_train_step, config, models)
+        if config.is_indexed
+        else partial(rgba_train_step, config, models)
+    )
+
+    @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
+    def train_chunk(state: TrainState, dataset, data_key, num_steps: int):
+        def body(state, _):
+            idx = batch_indices(
+                data_key, state.step, dataset_size, config.batch_size
+            )
+            source = dataset[0][idx]
+            target = dataset[1][idx]
+            return step_fn(state, source, target)
+
+        return jax.lax.scan(body, state, None, length=num_steps)
+
+    return train_chunk
+
+
+def make_generate_fn(config: Config, models: Models) -> Callable:
+    """Jitted inference mirroring Pix2PixModel.generate (pix2pix_model.py:58-60)
+    and Pix2PixIndexedModel.generate (:283-287).
+
+    RGBA: normalized source -> [-1, 1] fake image.
+    Indexed: index-map source -> int32 index map via argmax.
+    Dropout stays ACTIVE (training=True in every reference generate call).
+    """
+
+    def generate(g_params, source, rng):
+        if config.is_indexed:
+            probs = _apply_generator(
+                models, g_params, source.astype(jnp.float32), rng
+            )
+            return jnp.argmax(probs, axis=-1)[..., None].astype(jnp.int32)
+        return _apply_generator(models, g_params, source, rng)
+
+    return jax.jit(generate)
+
+
+def make_discriminate_fn(config: Config, models: Models) -> Callable:
+    """Jitted patch-probability map for debugging visualizations
+    (pix2pix_model.py:161-178)."""
+
+    def discriminate(d_params, target, source):
+        logits = _apply_discriminator(models, d_params, target, source)
+        return jax.nn.sigmoid(logits)
+
+    return jax.jit(discriminate)

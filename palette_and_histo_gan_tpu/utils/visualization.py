@@ -1,0 +1,141 @@
+"""Preview grids and discriminator patch-map rendering.
+
+Mirrors the reference's matplotlib visualizations:
+  - preview_generated_images_during_training (pix2pix_model.py:127-159):
+    rows of [Input, Target, Generated] images
+  - debug_discriminator_patches (pix2pix_model.py:161-229): sigmoid patch
+    maps upscaled to image resolution by repeat + pad
+
+Figures are written to PNG files and returned as HWC uint8 arrays for the
+TensorBoard image log (replacing io_utils.plot_to_image:106-120).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _to_display(img: np.ndarray) -> np.ndarray:
+    """[-1, 1] float -> [0, 1] for imshow (reference: img * 0.5 + 0.5)."""
+    return np.clip(np.asarray(img) * 0.5 + 0.5, 0.0, 1.0)
+
+
+def preview_grid(
+    sources: np.ndarray,
+    targets: np.ndarray,
+    generated: np.ndarray,
+    save_name: str | None = None,
+    step: int | None = None,
+    values_in_unit_range: bool = False,
+) -> np.ndarray:
+    """Rows of [Input, Target, Generated]; returns the figure as HWC uint8.
+
+    values_in_unit_range=True for indexed-variant images already in [0, 1]
+    or [0, 255] uint8 decoded via palette.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    title = ["Input", "Target", "Generated"]
+    if step is not None:
+        title[-1] += f" ({step / 1000}k)"
+    num_images = len(sources)
+    num_columns = len(title)
+
+    figure = plt.figure(figsize=(4 * num_columns, 4 * num_images))
+    for i in range(num_images):
+        images = [sources[i], targets[i], generated[i]]
+        for j in range(num_columns):
+            idx = i * num_columns + j + 1
+            plt.subplot(num_images, num_columns, idx)
+            plt.title(title[j] if i == 0 else "", fontdict={"fontsize": 24})
+            img = np.asarray(images[j])
+            if values_in_unit_range:
+                img = np.clip(
+                    img / 255.0 if img.max() > 1.5 else img, 0.0, 1.0
+                )
+            else:
+                img = _to_display(img)
+            plt.imshow(img)
+            plt.axis("off")
+    figure.tight_layout()
+
+    if save_name is not None:
+        os.makedirs(os.path.dirname(save_name), exist_ok=True)
+        plt.savefig(save_name)
+
+    figure.canvas.draw()
+    data = np.asarray(figure.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(figure)
+    return data
+
+
+def upscale_patches(patches: np.ndarray, img_size: int = 64) -> np.ndarray:
+    """(P, P, 1) sigmoid patch map -> (img_size, img_size) by repeat + pad
+    (pix2pix_model.py:178-191)."""
+    patches = np.asarray(patches)
+    num_patches = patches.shape[0]
+    factor = img_size // num_patches
+    pad_before = (img_size - num_patches * factor) // 2
+    pad_after = (img_size - num_patches * factor) - pad_before
+    up = np.repeat(np.repeat(patches, factor, axis=0), factor, axis=1)
+    up = np.pad(up, [[pad_before, pad_after], [pad_before, pad_after], [0, 0]])
+    return up[:, :, 0]
+
+
+def discriminator_debug_figure(
+    source: np.ndarray,
+    target: np.ndarray,
+    generated: np.ndarray,
+    real_patches: np.ndarray,
+    fake_patches: np.ndarray,
+    save_name: str | None = None,
+    values_in_unit_range: bool = False,
+) -> np.ndarray:
+    """[Source, Target, D(target), Generated, D(generated)] strip
+    (pix2pix_model.py:198-229)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    img_size = source.shape[0]
+    real_up = upscale_patches(real_patches, img_size)
+    fake_up = upscale_patches(fake_patches, img_size)
+    real_mean = float(np.mean(real_patches))
+    fake_mean = float(np.mean(fake_patches))
+
+    def show(img):
+        if values_in_unit_range:
+            return np.clip(img / 255.0 if np.asarray(img).max() > 1.5 else img, 0, 1)
+        return _to_display(img)
+
+    panels = [
+        ("Source", show(source), None),
+        ("Target", show(target), None),
+        (f"Discriminated target {real_mean:.3f}", real_up, "gray"),
+        ("Generated", show(generated), None),
+        (f"Discriminated generated {fake_mean:.3f}", fake_up, "gray"),
+    ]
+    figure = plt.figure(figsize=(6 * len(panels), 6))
+    for i, (title, img, cmap) in enumerate(panels):
+        plt.subplot(1, len(panels), i + 1)
+        plt.title(title, fontdict={"fontsize": 20})
+        if cmap:
+            plt.imshow(img, cmap=cmap, vmin=0.0, vmax=1.0)
+        else:
+            plt.imshow(img)
+        plt.axis("off")
+
+    if save_name is not None:
+        os.makedirs(os.path.dirname(save_name), exist_ok=True)
+        plt.savefig(save_name)
+
+    figure.canvas.draw()
+    data = np.asarray(figure.canvas.buffer_rgba())[..., :3].copy()
+    plt.close(figure)
+    return data

@@ -1,0 +1,95 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from palette_and_histo_gan_tpu.ops import augment
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load(name):
+    path = os.path.join(GOLDEN, name + ".npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture {name} missing; run scripts/make_golden.py")
+    return np.load(path)
+
+
+def test_rgb_hsv_matches_tf():
+    g = _load("hsv")
+    hsv = augment.rgb_to_hsv(jnp.asarray(g["rgb"]))
+    np.testing.assert_allclose(hsv, g["hsv"], rtol=1e-4, atol=1e-3)
+
+
+def test_hsv_roundtrip():
+    rgb = jnp.asarray(np.random.default_rng(1).random((32, 3)) * 255.0, jnp.float32)
+    back = augment.hsv_to_rgb(augment.rgb_to_hsv(rgb))
+    np.testing.assert_allclose(back, rgb, rtol=1e-4, atol=1e-2)
+
+
+def test_adjust_hue_matches_tf():
+    g = _load("hue")
+    for i in range(g["images"].shape[0]):
+        out = augment.adjust_hue(jnp.asarray(g["images"][i]), float(g["deltas"][i]))
+        np.testing.assert_allclose(out, g["expected"][i], rtol=1e-3, atol=0.51)
+
+
+def test_adjust_hue_zero_is_identity():
+    img = jnp.asarray(np.random.default_rng(2).random((8, 8, 3)) * 255, jnp.float32)
+    np.testing.assert_allclose(augment.adjust_hue(img, 0.0), img, rtol=1e-4, atol=1e-2)
+
+
+def test_translate_matches_tf():
+    g = _load("translate")
+    for i in range(g["images"].shape[0]):
+        dy, dx = g["offsets"][i]
+        out = augment.translate_nearest(jnp.asarray(g["images"][i]), dy, dx)
+        np.testing.assert_allclose(out, g["expected"][i], atol=1e-4)
+
+
+def test_translate_integer_shift():
+    img = jnp.zeros((4, 4, 1)).at[1, 1, 0].set(5.0)
+    out = augment.translate_nearest(img, 1.0, 2.0)  # down 1, right 2
+    assert float(out[2, 3, 0]) == 5.0
+    assert float(jnp.sum(out)) == 5.0
+
+
+def test_hue_rotation_pair_shares_delta():
+    key = jax.random.PRNGKey(3)
+    rng = np.random.default_rng(4)
+    src = jnp.asarray(rng.integers(0, 256, (8, 8, 4)), jnp.float32)
+    # if target == source, the outputs must be identical (same delta)
+    a, b = augment.hue_rotation_pair(src, src, key)
+    np.testing.assert_allclose(a, b)
+    # alpha preserved
+    np.testing.assert_allclose(a[..., 3], src[..., 3])
+
+
+def test_translation_pair_shares_offset():
+    key = jax.random.PRNGKey(5)
+    src = jnp.zeros((8, 8, 4)).at[4, 4].set(1.0)
+    a, b = augment.translation_pair(src, src, key)
+    np.testing.assert_allclose(a, b)
+
+
+def test_augment_prob_zero_is_identity():
+    key = jax.random.PRNGKey(6)
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.integers(0, 256, (8, 8, 4)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, 256, (8, 8, 4)), jnp.float32)
+    a, b = augment.augment_pair_with_prob(src, tgt, key, prob=0.0)
+    np.testing.assert_allclose(a, src)
+    np.testing.assert_allclose(b, tgt)
+
+
+def test_augment_batch_shapes_and_jit():
+    key = jax.random.PRNGKey(8)
+    rng = np.random.default_rng(9)
+    srcs = jnp.asarray(rng.integers(0, 256, (4, 16, 16, 4)), jnp.float32)
+    tgts = jnp.asarray(rng.integers(0, 256, (4, 16, 16, 4)), jnp.float32)
+    fn = jax.jit(augment.augment_batch)
+    a, b = fn(srcs, tgts, key)
+    assert a.shape == srcs.shape and b.shape == tgts.shape
+    assert jnp.all(jnp.isfinite(a)) and jnp.all(jnp.isfinite(b))

@@ -1,0 +1,105 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from palette_and_histo_gan_tpu.eval import fid as fid_mod
+
+
+def test_nn_resize_coordinates():
+    # floor((o + 0.5) * in/out): upsample 4 -> 8 duplicates each pixel twice
+    idx = np.asarray(fid_mod._nn_indices(8, 4))
+    np.testing.assert_array_equal(idx, [0, 0, 1, 1, 2, 2, 3, 3])
+    # channel resample 4 -> 3 picks [0, 2, 3] (the reference-quirk mapping)
+    np.testing.assert_array_equal(np.asarray(fid_mod._nn_indices(3, 4)), [0, 2, 3])
+
+
+def test_scale_images_shapes_and_quirks():
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((2, 64, 64, 4)), jnp.float32)
+    out = fid_mod.scale_images_nn(imgs, 299, reference_quirks=True)
+    assert out.shape == (2, 299, 299, 3)
+    # quirk mode: channels are R, B, A
+    np.testing.assert_allclose(out[0, 0, 0], np.asarray(imgs)[0, 0, 0, [0, 2, 3]])
+    out2 = fid_mod.scale_images_nn(imgs, 299, reference_quirks=False)
+    np.testing.assert_allclose(out2[0, 0, 0], np.asarray(imgs)[0, 0, 0, :3])
+
+
+def test_sqrtm_newton_schulz_matches_scipy():
+    from scipy.linalg import sqrtm
+
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(32, 32)).astype(np.float64)
+    psd = (a @ a.T + 32 * np.eye(32)).astype(np.float32)
+    ours = np.asarray(fid_mod.sqrtm_newton_schulz(jnp.asarray(psd)))
+    ref = np.real(sqrtm(psd.astype(np.float64)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_trace_sqrt_product_matches_scipy():
+    from scipy.linalg import sqrtm
+
+    rng = np.random.default_rng(2)
+    # low-rank-ish covariances like FID sees (n_samples < dim)
+    f1 = rng.normal(size=(20, 32)).astype(np.float64)
+    f2 = rng.normal(size=(20, 32)).astype(np.float64) * 1.5 + 0.3
+    s1 = np.cov(f1, rowvar=False)
+    s2 = np.cov(f2, rowvar=False)
+    ours = float(
+        fid_mod.trace_sqrt_product(
+            jnp.asarray(s1, jnp.float32), jnp.asarray(s2, jnp.float32)
+        )
+    )
+    ref = float(np.trace(np.real(sqrtm(s1 @ s2))))
+    assert abs(ours - ref) / abs(ref) < 2e-2
+
+
+def test_frechet_distance_matches_scipy_formula():
+    rng = np.random.default_rng(3)
+    f1 = rng.normal(size=(40, 16)).astype(np.float64)
+    f2 = rng.normal(size=(40, 16)).astype(np.float64) + 0.5
+    mu1, s1 = f1.mean(0), np.cov(f1, rowvar=False)
+    mu2, s2 = f2.mean(0), np.cov(f2, rowvar=False)
+    ref = fid_mod.frechet_distance_scipy(mu1, s1, mu2, s2)
+    ours = float(
+        fid_mod.frechet_distance(
+            jnp.asarray(mu1, jnp.float32),
+            jnp.asarray(s1, jnp.float32),
+            jnp.asarray(mu2, jnp.float32),
+            jnp.asarray(s2, jnp.float32),
+        )
+    )
+    assert abs(ours - ref) / abs(ref) < 2e-2
+    # identical distributions -> ~0
+    same = float(
+        fid_mod.frechet_distance(
+            jnp.asarray(mu1, jnp.float32),
+            jnp.asarray(s1, jnp.float32),
+            jnp.asarray(mu1, jnp.float32),
+            jnp.asarray(s1, jnp.float32),
+        )
+    )
+    assert abs(same) < 1e-2 * abs(ref)
+
+
+def test_activation_statistics_match_numpy():
+    rng = np.random.default_rng(4)
+    acts = rng.normal(size=(10, 8)).astype(np.float32)
+    mu, sigma = fid_mod.activation_statistics(jnp.asarray(acts))
+    np.testing.assert_allclose(mu, acts.mean(0), rtol=1e-5)
+    np.testing.assert_allclose(
+        sigma, np.cov(acts, rowvar=False), rtol=1e-4, atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_fid_evaluator_end_to_end_small():
+    # random-weight Inception at reduced input size: checks the full pipeline
+    # wiring (resize, preprocess, forward, stats, distance) cheaply
+    ev = fid_mod.FidEvaluator(batch_size=4, input_size=75)
+    rng = np.random.default_rng(5)
+    a = rng.random((4, 64, 64, 4)).astype(np.float32) * 2 - 1
+    b = rng.random((4, 64, 64, 4)).astype(np.float32) * 2 - 1
+    val_same = ev.compare(a, a)
+    val_diff = ev.compare(a, b)
+    assert np.isfinite(val_diff)
+    assert abs(val_same) < 1e-2 + 1e-2 * abs(val_diff)

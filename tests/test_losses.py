@@ -1,0 +1,57 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from palette_and_histo_gan_tpu.train import losses
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load(name):
+    path = os.path.join(GOLDEN, name + ".npz")
+    if not os.path.exists(path):
+        pytest.skip(f"golden fixture {name} missing; run scripts/make_golden.py")
+    return np.load(path)
+
+
+def test_bce_matches_keras():
+    g = _load("losses")
+    logits = jnp.asarray(g["logits"])
+    ours_ones = losses.bce_with_logits(jnp.ones_like(logits), logits)
+    ours_zeros = losses.bce_with_logits(jnp.zeros_like(logits), logits)
+    np.testing.assert_allclose(ours_ones, g["bce_ones"], rtol=1e-5)
+    np.testing.assert_allclose(ours_zeros, g["bce_zeros"], rtol=1e-5)
+
+
+def test_cce_matches_keras():
+    g = _load("losses")
+    ours = losses.categorical_crossentropy_probs(
+        jnp.asarray(g["onehot"]), jnp.asarray(g["probs"])
+    )
+    np.testing.assert_allclose(ours, g["cce"], rtol=1e-5)
+
+
+def test_generator_loss_structure():
+    fake_pred = jnp.zeros((2, 32, 32, 1))
+    fake = jnp.zeros((2, 64, 64, 4))
+    real = jnp.ones((2, 64, 64, 4)) * 0.5
+    m = losses.generator_loss(fake_pred, fake, real, lambda_l1=100.0)
+    # BCE(1, 0-logits) = ln 2; L1 = 0.5
+    np.testing.assert_allclose(m["adversarial_loss"], np.log(2.0), rtol=1e-5)
+    np.testing.assert_allclose(m["l1_loss"], 0.5, rtol=1e-6)
+    np.testing.assert_allclose(
+        m["total_loss"], np.log(2.0) + 100.0 * 0.5, rtol=1e-5
+    )
+
+
+def test_discriminator_loss_structure():
+    real_pred = jnp.full((1, 32, 32, 1), 3.0)
+    fake_pred = jnp.full((1, 32, 32, 1), -3.0)
+    m = losses.discriminator_loss(real_pred, fake_pred)
+    # confident correct discriminator -> small loss
+    assert float(m["total_loss"]) < 0.2
+    np.testing.assert_allclose(
+        m["total_loss"], m["real_loss"] + m["fake_loss"], rtol=1e-6
+    )

@@ -1,0 +1,112 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from palette_and_histo_gan_tpu.models import (
+    InstanceNorm,
+    PatchDiscriminator,
+    UnetGenerator,
+)
+
+
+def _count_params(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def test_instance_norm_values():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(3.0, 2.0, (2, 8, 8, 4)), jnp.float32)
+    model = InstanceNorm()
+    params = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(params, x)
+    # fresh init: gamma=1, beta=0 -> per-(sample,channel) standardization
+    expected = (np.asarray(x) - np.asarray(x).mean((1, 2), keepdims=True)) / np.sqrt(
+        np.asarray(x).var((1, 2), keepdims=True) + 1e-3
+    )
+    np.testing.assert_allclose(y, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_generator_rgba_shapes_and_params():
+    model = UnetGenerator(input_channels=4, output_channels=4, last_activation="tanh")
+    x = jnp.zeros((2, 64, 64, 4))
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    y = model.apply(variables, x, deterministic=True)
+    assert y.shape == (2, 64, 64, 4)
+    assert float(y.min()) >= -1.0 and float(y.max()) <= 1.0  # tanh head
+    # parameter-count parity vs the reference (29.3M printed at init,
+    # pix2pix_model.py:25): conv kernels + head bias + InstanceNorm scale/offset
+    n = _count_params(variables["params"])
+    expected_convs = (
+        4 * 4 * 4 * 64          # down1
+        + 4 * 4 * 64 * 128      # down2
+        + 4 * 4 * 128 * 256
+        + 4 * 4 * 256 * 512
+        + 4 * 4 * 512 * 512
+        + 4 * 4 * 512 * 512     # down6 (bottleneck)
+        + 4 * 4 * 512 * 512     # up1 (in 512)
+        + 4 * 4 * 1024 * 512    # up2 (in 1024 after concat)
+        + 4 * 4 * 1024 * 256
+        + 4 * 4 * 512 * 128
+        + 4 * 4 * 256 * 64
+        + 4 * 4 * 128 * 32
+        + 4 * 4 * 36 * 4 + 4    # head (+bias)
+    )
+    norm_channels = (128 + 256 + 512 + 512 + 512) + (512 + 512 + 256 + 128 + 64 + 32)
+    expected = expected_convs + 2 * norm_channels
+    assert n == expected, (n, expected)
+    assert 29_000_000 < n < 29_500_000
+
+
+def test_generator_indexed_softmax_head():
+    model = UnetGenerator(input_channels=1, output_channels=256, last_activation="softmax")
+    x = jnp.zeros((1, 64, 64, 1))
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    y = model.apply(variables, x, deterministic=True)
+    assert y.shape == (1, 64, 64, 256)
+    np.testing.assert_allclose(jnp.sum(y, -1), np.ones((1, 64, 64)), rtol=1e-4)
+
+
+def test_generator_dropout_active_when_not_deterministic():
+    # narrow widths keep single-core compile time down; structure is identical
+    model = UnetGenerator(down_filters=(8, 8, 8, 8, 8, 8), up_filters=(8, 8, 8, 8, 8, 8))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 64, 64, 4)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    y1 = model.apply(variables, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+    y2 = model.apply(variables, x, deterministic=False, rngs={"dropout": jax.random.PRNGKey(2)})
+    # different dropout masks -> different outputs (reference always runs
+    # training=True, pix2pix_model.py:67)
+    assert float(jnp.max(jnp.abs(y1 - y2))) > 0
+
+
+def test_discriminator_shapes_and_params():
+    model = PatchDiscriminator(input_channels=4)
+    t = jnp.zeros((2, 64, 64, 4))
+    s = jnp.zeros((2, 64, 64, 4))
+    variables = model.init(jax.random.PRNGKey(0), t, s)
+    y = model.apply(variables, t, s)
+    assert y.shape == (2, 32, 32, 1)  # 32x32 patch logits (networks.py:46-48)
+    n = _count_params(variables["params"])
+    expected = 4 * 4 * 8 * 64 + (4 * 4 * 64 * 1 + 1)  # ~9.2K (SURVEY §2 #8)
+    assert n == expected, (n, expected)
+
+
+def test_discriminator_not_symmetric_in_args():
+    # concat order [target, source] matters (networks.py:45)
+    model = PatchDiscriminator(input_channels=4)
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.normal(size=(1, 64, 64, 4)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(1, 64, 64, 4)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+    y_ab = model.apply(variables, a, b)
+    y_ba = model.apply(variables, b, a)
+    assert float(jnp.max(jnp.abs(y_ab - y_ba))) > 1e-4
+
+
+def test_generator_bfloat16_compute():
+    model = UnetGenerator(dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 64, 4))
+    variables = model.init(jax.random.PRNGKey(0), x, deterministic=True)
+    y = model.apply(variables, x, deterministic=True)
+    assert y.dtype == jnp.float32  # head casts back
+    # params stay float32
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(variables["params"]))

@@ -1,0 +1,159 @@
+"""Train-step tests on width-reduced networks (same structure, fast compiles)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from palette_and_histo_gan_tpu.config import config_for_variant
+from palette_and_histo_gan_tpu.models.networks import PatchDiscriminator, UnetGenerator
+from palette_and_histo_gan_tpu.train.state import (
+    Models,
+    TrainState,
+    make_optimizer,
+)
+from palette_and_histo_gan_tpu.train import steps as steps_mod
+
+TINY_DOWN = (8, 8, 8, 8, 8, 8)
+TINY_UP = (8, 8, 8, 8, 8, 8)
+
+
+def tiny_models(config):
+    gen = UnetGenerator(
+        input_channels=config.generator_in_channels,
+        output_channels=config.generator_out_channels,
+        last_activation=config.generator_last_activation,
+        down_filters=TINY_DOWN,
+        up_filters=TINY_UP,
+    )
+    disc = PatchDiscriminator(input_channels=config.discriminator_in_channels)
+    return Models(gen, disc, make_optimizer(config), make_optimizer(config))
+
+
+def tiny_state(config, models, seed=0):
+    k = jax.random.PRNGKey(seed)
+    k_g, k_d, k_s = jax.random.split(k, 3)
+    img = config.img_size
+    g_in = jnp.zeros((1, img, img, config.generator_in_channels))
+    d_in = jnp.zeros((1, img, img, config.discriminator_in_channels))
+    g_params = models.generator.init(k_g, g_in, deterministic=True)["params"]
+    d_params = models.discriminator.init(k_d, d_in, d_in)["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt_state=models.g_tx.init(g_params),
+        d_opt_state=models.d_tx.init(d_params),
+        rng=k_s,
+    )
+
+
+def rgba_batch(seed=1, batch=2):
+    rng = np.random.default_rng(seed)
+    src = jnp.asarray(rng.integers(0, 256, (batch, 64, 64, 4)), jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, 256, (batch, 64, 64, 4)), jnp.float32)
+    return src, tgt
+
+
+def _max_param_delta(a, b):
+    return max(
+        float(jnp.max(jnp.abs(x - y)))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_baseline_step_updates_and_metrics():
+    config = config_for_variant("baseline-no-aug", donate_state=False)
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+    src, tgt = rgba_batch()
+    new_state, metrics = steps_mod.rgba_train_step(config, models, state, src, tgt)
+    for key in [
+        "generator/total_loss",
+        "generator/adversarial_loss",
+        "generator/l1_loss",
+        "discriminator/total_loss",
+        "discriminator/real_loss",
+        "discriminator/fake_loss",
+    ]:
+        assert key in metrics
+        assert np.isfinite(float(metrics[key])), key
+    assert int(new_state.step) == 1
+    assert _max_param_delta(state.g_params, new_state.g_params) > 0
+    assert _max_param_delta(state.d_params, new_state.d_params) > 0
+
+
+def test_histogram_step_has_histogram_loss():
+    config = config_for_variant("histogram", donate_state=False)
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+    src, tgt = rgba_batch(2)
+    _, metrics = steps_mod.rgba_train_step(config, models, state, src, tgt)
+    assert "generator/histogram_loss" in metrics
+    assert np.isfinite(float(metrics["generator/histogram_loss"]))
+    assert float(metrics["generator/histogram_loss"]) >= 0
+
+
+def test_indexed_step_gradient_topology():
+    config = config_for_variant("indexed", donate_state=False)
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.integers(0, 16, (2, 64, 64, 1)), jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 16, (2, 64, 64, 1)), jnp.int32)
+
+    new_state, metrics = steps_mod.indexed_train_step(config, models, state, src, tgt)
+    assert "generator/segmentation_loss" in metrics
+    assert int(new_state.step) == 1
+    # CCE drives G; D trains on index maps
+    assert _max_param_delta(state.g_params, new_state.g_params) > 0
+    assert _max_param_delta(state.d_params, new_state.d_params) > 0
+
+    # with lambda_seg = 0 the only G-touching term is the adversarial BCE,
+    # which flows through argmax -> zero gradient -> G unchanged by Adam?
+    # (Adam with exactly-zero grads produces zero updates)
+    config0 = config.replace(lambda_segmentation=0.0)
+    new_state0, _ = steps_mod.indexed_train_step(config0, models, state, src, tgt)
+    assert _max_param_delta(state.g_params, new_state0.g_params) == 0.0
+    assert _max_param_delta(state.d_params, new_state0.d_params) > 0
+
+
+def test_augmented_step_compiles_and_runs():
+    config = config_for_variant("baseline", donate_state=False)
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+    src, tgt = rgba_batch(4)
+    new_state, metrics = steps_mod.rgba_train_step(config, models, state, src, tgt)
+    assert np.isfinite(float(metrics["generator/total_loss"]))
+    assert int(new_state.step) == 1
+
+
+def test_step_determinism():
+    config = config_for_variant("baseline-no-aug", donate_state=False)
+    models = tiny_models(config)
+    src, tgt = rgba_batch(5)
+    s1 = tiny_state(config, models, seed=7)
+    s2 = tiny_state(config, models, seed=7)
+    n1, m1 = steps_mod.rgba_train_step(config, models, s1, src, tgt)
+    n2, m2 = steps_mod.rgba_train_step(config, models, s2, src, tgt)
+    assert float(m1["generator/total_loss"]) == float(m2["generator/total_loss"])
+    np.testing.assert_array_equal(
+        jax.tree.leaves(n1.g_params)[0], jax.tree.leaves(n2.g_params)[0]
+    )
+
+
+def test_generate_fn_shapes():
+    config = config_for_variant("baseline-no-aug")
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+    gen_fn = steps_mod.make_generate_fn(config, models)
+    src = jnp.zeros((2, 64, 64, 4))
+    out = gen_fn(state.g_params, src, jax.random.PRNGKey(0))
+    assert out.shape == (2, 64, 64, 4)
+
+    config_i = config_for_variant("indexed")
+    models_i = tiny_models(config_i)
+    state_i = tiny_state(config_i, models_i)
+    gen_i = steps_mod.make_generate_fn(config_i, models_i)
+    out = gen_i(state_i.g_params, jnp.zeros((2, 64, 64, 1), jnp.int32), jax.random.PRNGKey(0))
+    assert out.shape == (2, 64, 64, 1) and out.dtype == jnp.int32
