@@ -32,33 +32,40 @@ def main():
 
     from palette_and_histo_gan_tpu.config import config_for_variant
     from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
-    from palette_and_histo_gan_tpu.train.steps import rgba_train_step
+    from palette_and_histo_gan_tpu.train.steps import make_train_chunk
 
     config = config_for_variant(
-        "histogram", compute_dtype=dtype, batch_size=batch, donate_state=False
+        "histogram", compute_dtype=dtype, batch_size=batch, donate_state=True
     )
     models = build_models(config)
     state = create_train_state(config, models, jax.random.PRNGKey(0))
 
+    # synthetic HBM-resident dataset with the real pipeline shape; the chunk
+    # samples/augments/normalizes on device exactly as training does
+    n_data = 1024
     rng = np.random.default_rng(0)
-    src = jnp.asarray(rng.uniform(0, 255, (batch, 64, 64, 4)), jnp.float32)
-    tgt = jnp.asarray(rng.uniform(0, 255, (batch, 64, 64, 4)), jnp.float32)
+    dataset = (
+        jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+    )
+    chunk = make_train_chunk(config, models, n_data)
+    data_key = jax.random.PRNGKey(1)
 
-    from functools import partial
+    def timed(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        state, mm = chunk(state, dataset, data_key, n)
+        # a host fetch of the final metrics forces the whole dependency chain;
+        # block_until_ready alone is unreliable on tunneled backends
+        float(mm["generator/total_loss"][-1])
+        return time.perf_counter() - t0
 
-    step_fn = jax.jit(partial(rgba_train_step, config, models), donate_argnums=(0,))
-
-    # compile + warmup
-    state, _ = step_fn(state, src, tgt)
-    state, _ = step_fn(state, src, tgt)
-    jax.block_until_ready(state)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = step_fn(state, src, tgt)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
-
+    timed(2)  # compile + warmup
+    short = max(steps // 3, 1)
+    t_short = timed(short)
+    t_full = timed(steps)
+    # marginal rate cancels fixed dispatch/fetch overhead
+    dt = (t_full - t_short) / (steps - short) * steps
     images_per_sec = batch * steps / dt
     print(
         json.dumps(

@@ -115,6 +115,8 @@ class Config:
     histogram_size: int = 64
     histogram_method: str = "inverse-quadratic"
     histogram_sigma: float = 0.02
+    # fused Pallas histogram kernel (TPU) vs plain-XLA implementation
+    use_pallas_histogram: bool = False
 
     # TPU-specific
     compute_dtype: str = "float32"  # "float32" or "bfloat16" for conv compute

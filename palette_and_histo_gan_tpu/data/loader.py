@@ -64,6 +64,14 @@ def load_split_arrays(
         sizes = TRAIN_SIZES if split == "train" else TEST_SIZES
     n = sum(sizes)
     folder = os.path.join(data_root, split, DIRECTION_FOLDERS[direction])
+    try:  # native batched decode: one C call for the whole split
+        from ..native import png_io
+
+        batch = png_io.decode_folder(folder, n)
+        if batch is not None:
+            return batch
+    except Exception:
+        pass
     images = np.zeros((n, 64, 64, 4), dtype=np.uint8)
     for i in range(n):
         images[i] = _decode_png(os.path.join(folder, f"{i}.png"))

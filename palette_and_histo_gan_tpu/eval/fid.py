@@ -92,8 +92,9 @@ def sqrtm_newton_schulz(a: jnp.ndarray, num_iters: int = 25) -> jnp.ndarray:
     convergence; float32 accuracy is parity-tested against scipy.
     """
     dim = a.shape[0]
-    norm = jnp.sqrt(jnp.sum(a * a)) + 1e-12
-    y = a / norm
+    norm = jnp.sqrt(jnp.sum(a * a))
+    safe_norm = jnp.where(norm < 1e-30, 1.0, norm)
+    y = a / safe_norm
     z = jnp.eye(dim, dtype=a.dtype)
     eye3 = 3.0 * jnp.eye(dim, dtype=a.dtype)
 
@@ -103,30 +104,34 @@ def sqrtm_newton_schulz(a: jnp.ndarray, num_iters: int = 25) -> jnp.ndarray:
         return _mm(y, t), _mm(t, z)
 
     y, _ = jax.lax.fori_loop(0, num_iters, body, (y, z))
-    return y * jnp.sqrt(norm)
+    # a numerically-zero input has a zero square root
+    return jnp.where(norm < 1e-30, jnp.zeros_like(a), y * jnp.sqrt(safe_norm))
+
+
+def _sqrtm_psd_eigh(a: jnp.ndarray) -> jnp.ndarray:
+    """PSD matrix square root via eigendecomposition (robust to rank
+    deficiency, which FID covariances from n < dim samples always have)."""
+    w, v = jnp.linalg.eigh(a)
+    w = jnp.sqrt(jnp.clip(w, 0.0, None))
+    return _mm(v * w[None, :], v.T)
 
 
 def trace_sqrt_product(sigma1: jnp.ndarray, sigma2: jnp.ndarray) -> jnp.ndarray:
     """Tr((sigma1 @ sigma2)^(1/2)) via the symmetrized form
-    Tr((S sigma2 S)^(1/2)) with S = sqrtm(sigma1), keeping the iteration on a
-    symmetric PSD operand.
+    Tr((S sigma2 S)^(1/2)) with S = sqrtm(sigma1), keeping everything
+    symmetric PSD.
 
-    FID covariances from few samples are singular (rank n-1 < 2048); a tiny
-    relative diagonal regularization keeps Newton-Schulz convergent — scipy's
-    sqrtm on the same matrices yields complex values the reference simply
-    truncates (frechet_inception_distance.py:37-38), so both paths are
-    approximations; parity is asserted to ~1% in tests.
+    FID covariances from few samples are singular (rank n-1 < 2048), where
+    float32 Newton-Schulz diverges — so the square roots here use eigh
+    (TPU-supported, still fully on device). scipy's sqrtm on the same
+    matrices yields complex values the reference simply truncates
+    (frechet_inception_distance.py:37-38); parity is asserted in tests.
     """
-    dim = sigma1.shape[0]
-
-    def reg(m):
-        eps = 1e-6 * jnp.trace(m) / dim
-        return m + eps * jnp.eye(dim, dtype=m.dtype)
-
-    s1 = sqrtm_newton_schulz(reg(sigma1))
+    s1 = _sqrtm_psd_eigh(sigma1)
     inner = _mm(_mm(s1, sigma2), s1)
     inner = 0.5 * (inner + inner.T)
-    return jnp.trace(sqrtm_newton_schulz(reg(inner)))
+    w = jnp.linalg.eigvalsh(inner)
+    return jnp.sum(jnp.sqrt(jnp.clip(w, 0.0, None)))
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,10 @@ class ConvBN(nn.Module):
             strides=self.strides,
             padding=self.padding,
             use_bias=False,
+            # He init keeps activation variance alive through ~94 relu layers,
+            # so the random-init fallback still yields discriminative features
+            # (pretrained weights overwrite this when available)
+            kernel_init=nn.initializers.he_normal(),
             dtype=self.dtype,
         )(x)
         # inference-only: BN folds to a per-channel affine using stored stats

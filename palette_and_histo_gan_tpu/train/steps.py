@@ -89,19 +89,23 @@ def rgba_train_step(
     target = normalize(target)
 
     use_hist = config.model == "histogram"
+    if config.use_pallas_histogram:
+        from ..ops.histogram_pallas import calculate_rgbuv_histogram_pallas as hist_fn
+    else:
+        hist_fn = hist_ops.calculate_rgbuv_histogram
 
     def g_loss_fn(g_params):
         fake = _apply_generator(models, g_params, source, k_drop)
         fake_pred = _apply_discriminator(models, state.d_params, fake, source)
         metrics = generator_loss(fake_pred, fake, target, config.effective_lambda_l1)
         if use_hist:
-            real_hist = hist_ops.calculate_rgbuv_histogram(
+            real_hist = hist_fn(
                 target,
                 size=config.histogram_size,
                 method=config.histogram_method,
                 sigma=config.histogram_sigma,
             )
-            fake_hist = hist_ops.calculate_rgbuv_histogram(
+            fake_hist = hist_fn(
                 fake,
                 size=config.histogram_size,
                 method=config.histogram_method,

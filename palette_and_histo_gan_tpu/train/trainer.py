@@ -86,8 +86,6 @@ class Trainer:
 
     # -- dataset arrays handed to the scan (sources, targets) ---------------
     def _chunk_dataset(self):
-        if self.config.is_indexed:
-            return (self.train_ds.sources, self.train_ds.targets)
         return (self.train_ds.sources, self.train_ds.targets)
 
     # ----------------------------------------------------------------------
@@ -129,9 +127,14 @@ class Trainer:
             current_step = int(self.state.step)
 
             # per-step scalars at the reference's quantized step
-            qstep = log_utils.quantize_step(current_step - 1, update_steps)
-            last = {k: float(v[-1]) for k, v in metrics.items()}
-            self.writer.scalars(last, qstep)
+            # (pix2pix_model.py:85-89 writes every step at step//update_steps)
+            host_metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            start = current_step - chunk
+            for i in range(chunk):
+                qstep = log_utils.quantize_step(start + i, update_steps)
+                self.writer.scalars(
+                    {k: float(v[i]) for k, v in host_metrics.items()}, qstep
+                )
 
             show_eta(
                 training_start, step_start, current_step, starting_step,

@@ -1,0 +1,106 @@
+"""Large-batch throughput sweep across the four model variants.
+
+The BASELINE.json config-5 harness: per variant, sweep batch sizes and record
+blocked images/sec (one chip, or a data-parallel mesh when more devices are
+visible). Results go to sweep_results.json.
+
+Usage:
+    python scripts/sweep.py [--batches 64 256 1024] [--steps 20] [--out FILE]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure_variant(variant: str, batch: int, steps: int, dtype: str) -> dict:
+    from palette_and_histo_gan_tpu.config import config_for_variant
+    from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
+    from palette_and_histo_gan_tpu.train.steps import make_train_chunk
+
+    config = config_for_variant(variant, compute_dtype=dtype, batch_size=batch)
+    models = build_models(config)
+    state = create_train_state(config, models, jax.random.PRNGKey(0))
+
+    n_data = max(1024, batch)
+    rng = np.random.default_rng(0)
+    if config.is_indexed:
+        dataset = (
+            jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 1)), jnp.int32),
+            jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 1)), jnp.int32),
+        )
+    else:
+        dataset = (
+            jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+        )
+    chunk = make_train_chunk(config, models, n_data)
+    key = jax.random.PRNGKey(1)
+
+    def timed(n):
+        nonlocal state
+        t0 = time.perf_counter()
+        state, mm = chunk(state, dataset, key, n)
+        float(mm["generator/total_loss"][-1])
+        return time.perf_counter() - t0
+
+    timed(2)  # compile + warmup
+    short = max(steps // 3, 1)
+    t_short = timed(short)
+    t_full = timed(steps)
+    dt = (t_full - t_short) / (steps - short)
+    return {
+        "variant": variant,
+        "batch": batch,
+        "dtype": dtype,
+        "step_seconds": dt,
+        "images_per_sec": batch / dt,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=int, nargs="*", default=[64, 256, 1024])
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument(
+        "--variants",
+        nargs="*",
+        default=["baseline-no-aug", "baseline", "indexed", "histogram"],
+    )
+    p.add_argument("--out", default="sweep_results.json")
+    args = p.parse_args()
+
+    results = []
+    for variant in args.variants:
+        for batch in args.batches:
+            try:
+                r = measure_variant(variant, batch, args.steps, args.dtype)
+            except Exception as e:  # OOM etc.
+                r = {"variant": variant, "batch": batch, "error": str(e)[:200]}
+            print(json.dumps(r))
+            results.append(r)
+
+    with open(args.out, "w") as f:
+        json.dump(
+            {
+                "device": str(jax.devices()[0]),
+                "n_devices": len(jax.devices()),
+                "results": results,
+            },
+            f,
+            indent=2,
+        )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Parity tests: fused Pallas histogram vs the plain-JAX implementation.
+
+Run in Pallas interpreter mode on CPU (the kernel targets TPU hardware; the
+interpreter executes identical semantics).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from palette_and_histo_gan_tpu.ops import histogram as hist_ref
+from palette_and_histo_gan_tpu.ops import histogram_pallas as hist_pl
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    if jax.default_backend() != "tpu":
+        with pltpu.force_tpu_interpret_mode():
+            yield
+    else:
+        yield
+
+
+@pytest.mark.parametrize("method", ["inverse-quadratic", "RBF"])
+def test_forward_parity(method):
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
+    ours = hist_pl.calculate_rgbuv_histogram_pallas(batch, size=16, method=method)
+    ref = hist_ref.calculate_rgbuv_histogram(batch, size=16, method=method)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_forward_parity_full_size():
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(rng.uniform(-1, 1, (1, 16, 16, 4)), jnp.float32)
+    ours = hist_pl.calculate_rgbuv_histogram_pallas(batch)
+    ref = hist_ref.calculate_rgbuv_histogram(batch)
+    assert ours.shape == (1, 64, 64, 3)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["inverse-quadratic", "RBF"])
+def test_gradient_parity(method):
+    rng = np.random.default_rng(2)
+    batch = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 8, 8, 4)), jnp.float32)
+    target = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 8, 8, 4)), jnp.float32)
+
+    def loss_pl(x):
+        h = hist_pl.calculate_rgbuv_histogram_pallas(x, size=16, method=method)
+        t = hist_pl.calculate_rgbuv_histogram_pallas(target, size=16, method=method)
+        return hist_ref.hellinger_loss(t, h)
+
+    def loss_ref(x):
+        h = hist_ref.calculate_rgbuv_histogram(x, size=16, method=method)
+        t = hist_ref.calculate_rgbuv_histogram(target, size=16, method=method)
+        return hist_ref.hellinger_loss(t, h)
+
+    g_pl = jax.grad(loss_pl)(batch)
+    g_ref = jax.grad(loss_ref)(batch)
+    np.testing.assert_allclose(g_pl, g_ref, rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(g_pl[..., 3], 0.0)  # alpha gets no gradient
+
+
+def test_hellinger_value_against_reference_impl():
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
+    b = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
+    ha = hist_pl.calculate_rgbuv_histogram_pallas(a, size=16)
+    hb = hist_pl.calculate_rgbuv_histogram_pallas(b, size=16)
+    ra = hist_ref.calculate_rgbuv_histogram(a, size=16)
+    rb = hist_ref.calculate_rgbuv_histogram(b, size=16)
+    np.testing.assert_allclose(
+        hist_ref.hellinger_loss(ha, hb), hist_ref.hellinger_loss(ra, rb), rtol=1e-3
+    )
