@@ -61,12 +61,17 @@ def main():
         return time.perf_counter() - t0
 
     timed(2)  # compile + warmup
-    short = max(steps // 3, 1)
-    t_short = timed(short)
-    t_full = timed(steps)
-    # marginal rate cancels fixed dispatch/fetch overhead
-    dt = (t_full - t_short) / (steps - short) * steps
-    images_per_sec = batch * steps / dt
+    short = max(steps // 4, 1)
+    # marginal rate cancels fixed dispatch/fetch overhead; best-of-3 guards
+    # against tunnel/RPC latency spikes
+    best = float("inf")
+    for _ in range(3):
+        t_short = timed(short)
+        t_full = timed(steps)
+        marginal = (t_full - t_short) / (steps - short)
+        if 0 < marginal < best:
+            best = marginal
+    images_per_sec = batch / best
     print(
         json.dumps(
             {

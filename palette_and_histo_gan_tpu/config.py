@@ -120,6 +120,11 @@ class Config:
 
     # TPU-specific
     compute_dtype: str = "float32"  # "float32" or "bfloat16" for conv compute
+    # transposed-conv lowering: "lax" (flax ConvTranspose; measured faster on
+    # v5e — XLA handles the input dilation well) or "subpixel" (exact
+    # phase-decomposed alternative, kept for comparison; the interleave
+    # shuffles cost more than the dilation saves at these shapes)
+    transpose_impl: str = "lax"
     data_axis: str = "data"  # DP mesh axis name
     donate_state: bool = True
 

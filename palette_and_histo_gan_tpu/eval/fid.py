@@ -172,6 +172,18 @@ def frechet_distance_scipy(mu1, sigma1, mu2, sigma2) -> float:
     return float(ssdiff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
 
 
+def load_directory_of_images(path: str) -> np.ndarray:
+    """Stack every image in a directory (frechet_inception_distance.py:44-47,
+    skimage.imread -> PIL here)."""
+    import os
+
+    from PIL import Image
+
+    files = sorted(os.listdir(path))
+    images = [np.asarray(Image.open(os.path.join(path, f))) for f in files]
+    return np.asarray(images)
+
+
 # ---------------------------------------------------------------------------
 # Public evaluator
 # ---------------------------------------------------------------------------
@@ -230,7 +242,15 @@ class FidEvaluator:
         return jnp.concatenate(chunks, axis=0)
 
     def compare(self, images1, images2, method: str = "newton-schulz") -> float:
-        """FID between two image sets (frechet_inception_distance.py:79-80)."""
+        """FID between two image sets (frechet_inception_distance.py:79-80).
+
+        Each argument is an (N, H, W, C) array or a directory path of images
+        (frechet_inception_distance.py:50-58).
+        """
+        if isinstance(images1, str):
+            images1 = load_directory_of_images(images1)
+        if isinstance(images2, str):
+            images2 = load_directory_of_images(images2)
         acts1 = self.activations(images1)
         acts2 = self.activations(images2)
         mu1, s1 = activation_statistics(acts1)

@@ -81,25 +81,79 @@ class DownBlock(nn.Module):
         return nn.leaky_relu(x, negative_slope=LEAKY_RELU_SLOPE)
 
 
-class UpBlock(nn.Module):
-    """ConvTranspose k4 s2 -> InstanceNorm -> [Dropout 0.5] -> ReLU
-    (networks.py:24-36)."""
+class SubpixelConvTranspose(nn.Module):
+    """ConvTranspose(k4, s2, SAME, no bias) as 4 phase convs + depth-to-space.
+
+    A stride-2 transposed conv lowers in XLA to an input-dilated conv, wasting
+    ~3/4 of MXU cycles multiplying inserted zeros. The same linear operator
+    decomposes exactly into one k2s1 conv producing 4x the channels (one set
+    per output phase (dy, dx) in {0,1}^2) followed by a pixel-shuffle — pure
+    dense MXU work. Parameter count is identical (2*2*Cin*4*Cout =
+    4*4*Cin*Cout) and the spanned function space is the same, so training
+    behavior matches the reference's Conv2DTranspose (networks.py:26-27).
+    """
 
     filters: int
-    apply_dropout: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
-        x = nn.ConvTranspose(
-            self.filters,
-            kernel_size=(4, 4),
-            strides=(2, 2),
-            padding="SAME",
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, _ = x.shape
+        c = self.filters
+        # one dense k2 VALID conv over the 1-padded input gives every 2x2
+        # window; output phase (ry, rx) (ry, rx in {0,1}) reads the window at
+        # offset (y-1+ry, x-1+rx), i.e. a shifted (H, W) slice of the
+        # (H+1, W+1) conv output, with its own filter block
+        y = nn.Conv(
+            4 * c,
+            kernel_size=(2, 2),
+            strides=(1, 1),
+            padding=((1, 1), (1, 1)),
             use_bias=False,
             kernel_init=conv_init,
             dtype=self.dtype,
         )(x)
+        # k2 s1 over the (H+2)-padded rows yields H+1 windows; window i
+        # covers in[i-1 : i+1]
+        phases = []
+        for ry in (0, 1):
+            for rx in (0, 1):
+                block = y[:, ry : ry + h, rx : rx + w, (2 * ry + rx) * c : (2 * ry + rx + 1) * c]
+                phases.append(block)
+        # interleave: out[2y+ry, 2x+rx] = phase(ry, rx)[y, x]
+        stacked = jnp.stack(phases, axis=3)  # (B, H, W, 4, C)
+        stacked = stacked.reshape(b, h, w, 2, 2, c)
+        out = jnp.transpose(stacked, (0, 1, 3, 2, 4, 5))
+        return out.reshape(b, 2 * h, 2 * w, c)
+
+
+class UpBlock(nn.Module):
+    """ConvTranspose k4 s2 -> InstanceNorm -> [Dropout 0.5] -> ReLU
+    (networks.py:24-36).
+
+    transpose_impl: "subpixel" (default; phase-decomposed, MXU-dense) or
+    "lax" (flax ConvTranspose, for reference-lowering comparison).
+    """
+
+    filters: int
+    apply_dropout: bool = False
+    dtype: Any = jnp.float32
+    transpose_impl: str = "subpixel"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
+        if self.transpose_impl == "subpixel":
+            x = SubpixelConvTranspose(self.filters, dtype=self.dtype)(x)
+        else:
+            x = nn.ConvTranspose(
+                self.filters,
+                kernel_size=(4, 4),
+                strides=(2, 2),
+                padding="SAME",
+                use_bias=False,
+                kernel_init=conv_init,
+                dtype=self.dtype,
+            )(x)
         x = InstanceNorm()(x)
         if self.apply_dropout:
             x = nn.Dropout(rate=0.5, deterministic=deterministic)(x)
@@ -115,6 +169,7 @@ class UnetGenerator(nn.Module):
     dtype: Any = jnp.float32
     down_filters: Sequence[int] = (64, 128, 256, 512, 512, 512)
     up_filters: Sequence[int] = (512, 512, 256, 128, 64, 32)
+    transpose_impl: str = "subpixel"  # "subpixel" (MXU-dense) | "lax"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
@@ -129,9 +184,12 @@ class UnetGenerator(nn.Module):
         skip_sources = list(reversed(skips[:-1])) + [inputs]
 
         for i, (filters, skip) in enumerate(zip(self.up_filters, skip_sources)):
-            x = UpBlock(filters, apply_dropout=(i < 3), dtype=self.dtype)(
-                x, deterministic=deterministic
-            )
+            x = UpBlock(
+                filters,
+                apply_dropout=(i < 3),
+                dtype=self.dtype,
+                transpose_impl=self.transpose_impl,
+            )(x, deterministic=deterministic)
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
 
         x = nn.Conv(
@@ -184,6 +242,7 @@ def build_generator(config) -> UnetGenerator:
         output_channels=config.generator_out_channels,
         last_activation=config.generator_last_activation,
         dtype=jnp.dtype(config.compute_dtype),
+        transpose_impl=getattr(config, "transpose_impl", "subpixel"),
     )
 
 
