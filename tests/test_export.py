@@ -1,0 +1,48 @@
+"""Serving-export round trip: serialize, deserialize, run, compare."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from palette_and_histo_gan_tpu.config import config_for_variant
+from palette_and_histo_gan_tpu.models import export as export_mod
+from tests.test_train_steps import tiny_models, tiny_state
+
+
+def test_generator_export_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config = config_for_variant("baseline-no-aug")
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+
+    blob = export_mod.export_generator_serialized(config, models, state.g_params, 2)
+    path = export_mod.save_exported(config, "generator", blob)
+    infer = export_mod.load_exported(path)
+
+    src = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 4)), jnp.float32
+    )
+    served = infer(src)
+    direct = models.generator.apply(
+        {"params": state.g_params}, src, deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(served), np.asarray(direct), rtol=1e-5, atol=1e-6)
+
+
+def test_discriminator_export_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    config = config_for_variant("baseline-no-aug")
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+
+    blob = export_mod.export_discriminator_serialized(config, models, state.d_params, 1)
+    path = export_mod.save_exported(config, "discriminator", blob)
+    infer = export_mod.load_exported(path)
+
+    rng = np.random.default_rng(1)
+    t = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 4)), jnp.float32)
+    s = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 4)), jnp.float32)
+    served = infer(t, s)
+    direct = models.discriminator.apply({"params": state.d_params}, t, s)
+    assert served.shape == (1, 32, 32, 1)
+    np.testing.assert_allclose(np.asarray(served), np.asarray(direct), rtol=1e-5, atol=1e-6)
