@@ -26,7 +26,7 @@ NORTH_STAR = 20000.0
 
 
 def main():
-    batch = int(os.environ.get("PHG_BENCH_BATCH", "256"))
+    batch = int(os.environ.get("PHG_BENCH_BATCH", "1024"))
     steps = int(os.environ.get("PHG_BENCH_STEPS", "30"))
     dtype = os.environ.get("PHG_BENCH_DTYPE", "bfloat16")
 

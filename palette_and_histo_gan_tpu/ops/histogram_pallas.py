@@ -183,52 +183,32 @@ def _bwd_kernel(img_ref, g_ref, d_ref, *, size, method, sigma):
     d_ref[0, :, :] = jnp.concatenate(cols, axis=1)
 
 
-_BWD_BATCH_CHUNK = 8  # the v5e Mosaic compiler rejects the bwd grid above
-# ~8 batch programs (empirical); larger batches run as sequential chunks
+_BWD_PIXEL_TILE = 1024  # pixels per backward program; the per-pixel math is
+# row-independent, so tiling shrinks the per-program footprint (the Mosaic
+# compiler rejects the full-HW backward above ~8 batch programs) and
+# pipelines better
 
 
 def _backward_unnormalized(flat01, g_unnorm, size, method, sigma):
-    b = flat01.shape[0]
-    if b > _BWD_BATCH_CHUNK:
-        chunk = _BWD_BATCH_CHUNK
-        pad = (-b) % chunk
-        if pad:
-            flat01 = jnp.concatenate(
-                [flat01, jnp.ones((pad,) + flat01.shape[1:], flat01.dtype)]
-            )
-            g_unnorm = jnp.concatenate(
-                [g_unnorm, jnp.zeros((pad,) + g_unnorm.shape[1:], g_unnorm.dtype)]
-            )
-        n = flat01.shape[0] // chunk
-        fn = functools.partial(
-            _backward_unnormalized, size=size, method=method, sigma=sigma
-        )
-        out = jax.lax.map(
-            lambda args: fn(args[0], args[1]),
-            (
-                flat01.reshape((n, chunk) + flat01.shape[1:]),
-                g_unnorm.reshape((n, chunk) + g_unnorm.shape[1:]),
-            ),
-        )
-        return out.reshape((n * chunk,) + out.shape[2:])[:b]
-    return _backward_chunk(flat01, g_unnorm, size, method, sigma)
-
-
-def _backward_chunk(flat01, g_unnorm, size, method, sigma):
     b, hw, _ = flat01.shape
+    tile = _BWD_PIXEL_TILE if hw % _BWD_PIXEL_TILE == 0 else hw
+    n_tiles = hw // tile
     kernel = functools.partial(_bwd_kernel, size=size, method=method, sigma=sigma)
     d = pl.pallas_call(
         kernel,
-        grid=(b, 3),
+        grid=(b, 3, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, hw, 3), lambda i, ch: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, 1, size, size), lambda i, ch: (i, ch, 0, 0),
+                (1, tile, 3), lambda i, ch, t: (i, t, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, size, size), lambda i, ch, t: (i, ch, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, hw, 6), lambda i, ch: (i * 3 + ch, 0, 0), memory_space=pltpu.VMEM
+            (1, tile, 6), lambda i, ch, t: (i * 3 + ch, t, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b * 3, hw, 6), jnp.float32),
     )(flat01, g_unnorm)

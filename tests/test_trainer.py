@@ -72,6 +72,28 @@ def test_params_export_import(tmp_path, monkeypatch):
 
 
 @needs_data
+@pytest.mark.slow
+def test_loss_trajectory_decreases_on_real_data():
+    """End-to-end mini-train on the real sprites: the L1 component of the
+    generator loss must fall substantially over a few hundred steps
+    (SURVEY.md §4: loss-trajectory check)."""
+    config = config_for_variant("baseline-no-aug", donate_state=False, data_root=DATA_ROOT)
+    from palette_and_histo_gan_tpu.data import make_rgba_datasets
+
+    train_ds, _ = make_rgba_datasets(config)
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+    chunk = make_train_chunk(config, models, train_ds.n)
+    dataset = (train_ds.sources, train_ds.targets)
+    state, m_first = chunk(state, dataset, jax.random.PRNGKey(1), 20)
+    state, m_later = chunk(state, dataset, jax.random.PRNGKey(1), 280)
+    first = float(np.mean(np.asarray(m_first["generator/l1_loss"])[:20]))
+    last = float(np.mean(np.asarray(m_later["generator/l1_loss"])[-20:]))
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < 0.8 * first, (first, last)
+
+
+@needs_data
 def test_trainer_mini_fit(tmp_path, monkeypatch):
     """A short end-to-end fit: loop, preview images, L1 callback, checkpoint."""
     monkeypatch.chdir(tmp_path)
