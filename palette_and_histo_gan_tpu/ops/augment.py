@@ -160,8 +160,53 @@ def augment_batch(
     key: jax.Array,
     prob: float = 0.8,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """vmapped per-pair augmentation over a batch with independent keys."""
-    keys = jax.random.split(key, sources.shape[0])
-    return jax.vmap(augment_pair_with_prob, in_axes=(0, 0, 0, None))(
-        sources, targets, keys, prob
-    )
+    """Per-pair augmentation over a batch.
+
+    All randomness is drawn in four batched calls up front (thousands of
+    tiny per-image PRNG invocations inside a vmap are latency-bound on TPU);
+    the deterministic transform is then vmapped over per-image scalars.
+    Distributions are identical to augment_pair_with_prob.
+    """
+    b, h, w = sources.shape[0], sources.shape[1], sources.shape[2]
+    k_choice, k_hue, k_dy, k_dx = jax.random.split(key, 4)
+    choice = jax.random.uniform(k_choice, (b,))
+    delta = jax.random.uniform(k_hue, (b,), minval=-MAX_HUE_DELTA, maxval=MAX_HUE_DELTA)
+    dy = jax.random.uniform(k_dy, (b,), minval=HEIGHT_FACTOR[0], maxval=HEIGHT_FACTOR[1]) * h
+    dx = jax.random.uniform(k_dx, (b,), minval=WIDTH_FACTOR[0], maxval=WIDTH_FACTOR[1]) * w
+
+    # nearest-neighbor translation of an integer grid is an integer shift:
+    # round(y - dy) == y - round(dy) away from exact .5 ties (probability
+    # zero under the uniform offsets). The shift is applied as two tiny
+    # one-hot matmuls (P @ img @ Q^T with single-nonzero rows) — exact, and
+    # the MXU-friendly formulation is ~10x faster than per-image gathers
+    sy = jnp.round(dy).astype(jnp.int32)  # out row y reads in row y - sy
+    sx = jnp.round(dx).astype(jnp.int32)
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+    iota_hj = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    iota_wk = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    # (B, H, H): P[b, y, j] = 1 iff j == y - sy_b (zero rows outside = fill 0)
+    p_mats = (iota_hj[None] == (iota_h[None] - sy[:, None, None])).astype(jnp.float32)
+    q_mats = (iota_wk[None] == (iota_w[None] - sx[:, None, None])).astype(jnp.float32)
+
+    def one(src, tgt, take, de, p_mat, q_mat):
+        def rotate(img):
+            rgb = adjust_hue(img[..., :3], de)
+            return jnp.concatenate([rgb, img[..., 3:]], axis=-1)
+
+        def shift(img):
+            # out[y, x, c] = sum_{j,k} P[y, j] img[j, k, c] Q[x, k]
+            return jnp.einsum(
+                "yj,jkc,xk->yxc", p_mat, img, q_mat,
+                precision=jax.lax.Precision.HIGHEST,  # exact: one term per out
+            )
+
+        aug_s = shift(rotate(src))
+        aug_t = shift(rotate(tgt))
+        keep = take < prob
+        return (
+            jnp.where(keep, aug_s, src),
+            jnp.where(keep, aug_t, tgt),
+        )
+
+    return jax.vmap(one)(sources, targets, choice, delta, p_mats, q_mats)

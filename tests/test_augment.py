@@ -93,3 +93,22 @@ def test_augment_batch_shapes_and_jit():
     a, b = fn(srcs, tgts, key)
     assert a.shape == srcs.shape and b.shape == tgts.shape
     assert jnp.all(jnp.isfinite(a)) and jnp.all(jnp.isfinite(b))
+
+
+def test_augment_batch_shift_matches_translate_nearest():
+    """The batched fast path (padded dynamic_slice) must match the
+    per-image gather implementation for the same offsets."""
+    rng = np.random.default_rng(11)
+    imgs = jnp.asarray(rng.integers(0, 256, (6, 16, 16, 4)), jnp.float32)
+    offsets = rng.uniform(-2.4, 1.2, (6, 2)).astype(np.float32)
+    margin = 12
+    for i in range(6):
+        dy, dx = float(offsets[i, 0]), float(offsets[i, 1])
+        ref = augment.translate_nearest(imgs[i], dy, dx)
+        padded = jnp.pad(imgs[i], ((margin, margin), (margin, margin), (0, 0)))
+        fast = jax.lax.dynamic_slice(
+            padded,
+            (margin - int(np.round(dy)), margin - int(np.round(dx)), 0),
+            (16, 16, 4),
+        )
+        np.testing.assert_allclose(fast, ref, atol=1e-5)
