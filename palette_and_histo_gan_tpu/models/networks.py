@@ -47,14 +47,31 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        beta = self.param("offset", nn.initializers.zeros, (features,), jnp.float32)
+
+        if x.dtype == jnp.bfloat16:
+            # mixed-precision fast path: keep the elementwise passes in bf16
+            # (upcasting every activation tensor to f32 costs ~12 ms/step at
+            # batch 1024); statistics still accumulate in f32 via the
+            # reduction dtype, using the single-pass E[x^2] - E[x]^2 form
+            mean = jnp.mean(x, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+            mean2 = jnp.mean(
+                jnp.square(x), axis=(1, 2), keepdims=True, dtype=jnp.float32
+            )
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            scale = (gamma * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
+            offset = (beta - mean * gamma * jax.lax.rsqrt(var + self.epsilon)).astype(
+                x.dtype
+            )
+            return x * scale + offset
+
         orig_dtype = x.dtype
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
         var = jnp.var(x32, axis=(1, 2), keepdims=True)
         normed = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        features = x.shape[-1]
-        gamma = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
-        beta = self.param("offset", nn.initializers.zeros, (features,), jnp.float32)
         return (normed * gamma + beta).astype(orig_dtype)
 
 
