@@ -9,6 +9,7 @@ mean over all elements; golden-tested against keras in tests/test_losses.py.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -32,6 +33,41 @@ def categorical_crossentropy_probs(
     probs = jnp.clip(probs, KERAS_EPSILON, 1.0 - KERAS_EPSILON)
     per_example = -jnp.sum(y_true * jnp.log(probs), axis=-1)
     return jnp.mean(per_example)
+
+
+def _select_label_prob(labels: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
+    """p[..., label] via a comparison mask + reduction.
+
+    On TPU a masked sum beats take_along_axis (gathers are slow) and avoids
+    materializing a float one-hot tensor; the bool mask fuses into the
+    reduction."""
+    classes = probs.shape[-1]
+    class_ids = jax.lax.broadcasted_iota(jnp.int32, (classes,), 0)
+    mask = labels[..., None] == class_ids
+    return jnp.sum(jnp.where(mask, probs, 0.0), axis=-1)
+
+
+def sparse_categorical_crossentropy_probs(
+    labels: jnp.ndarray, probs: jnp.ndarray
+) -> jnp.ndarray:
+    """Same value as categorical_crossentropy_probs(one_hot(labels), probs),
+    but the log runs only on the (B, H, W) selected entries instead of the
+    full (B, H, W, 256) tensor: renormalize, clip, -log, mean."""
+    total = jnp.sum(probs, axis=-1)
+    p_t = _select_label_prob(labels, probs)
+    p_t = jnp.clip(p_t / total, KERAS_EPSILON, 1.0 - KERAS_EPSILON)
+    return jnp.mean(-jnp.log(p_t))
+
+
+def onehot_l1_probs(labels: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
+    """mean |one_hot(labels) - probs| without the |.| over the full tensor.
+
+    With p >= 0: sum_c |1[c=t] - p_c| = (1 - p_t) + (sum_c p_c - p_t), so the
+    class-mean is (1 + sum p - 2 p_t) / C — exact, not an approximation."""
+    c = probs.shape[-1]
+    total = jnp.sum(probs, axis=-1)
+    p_t = _select_label_prob(labels, probs)
+    return jnp.mean((1.0 + total - 2.0 * p_t) / c)
 
 
 def generator_loss(

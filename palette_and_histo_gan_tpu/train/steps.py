@@ -28,15 +28,16 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..config import MAX_PALETTE_SIZE, Config
+from ..config import Config
 from ..ops import augment as augment_ops
 from ..ops import histogram as hist_ops
 from ..ops.image import normalize
 from .losses import (
     bce_with_logits,
-    categorical_crossentropy_probs,
     discriminator_loss,
     generator_loss,
+    onehot_l1_probs,
+    sparse_categorical_crossentropy_probs,
 )
 from .state import Models, TrainState
 
@@ -171,15 +172,17 @@ def indexed_train_step(
 
     source = source_idx.astype(jnp.float32)  # (B, H, W, 1), raw index scale
     real = target_idx.astype(jnp.float32)
-    onehot = jax.nn.one_hot(target_idx[..., 0], MAX_PALETTE_SIZE, dtype=jnp.float32)
+    labels = target_idx[..., 0]  # sparse labels; the one-hot tensor
+    # ((B, H, W, 256) float) is never materialized — the gather-based loss
+    # forms below are exact equalities (train/losses.py)
 
     def g_loss_fn(g_params):
         probs = _apply_generator(models, g_params, source, k_drop)
         fake_idx = jnp.argmax(probs, axis=-1)[..., None].astype(jnp.float32)
         fake_pred = _apply_discriminator(models, state.d_params, fake_idx, source)
         adversarial = bce_with_logits(jnp.ones_like(fake_pred), fake_pred)
-        l1 = jnp.mean(jnp.abs(onehot - probs))  # lambda_l1 is 0; logged only
-        seg = categorical_crossentropy_probs(onehot, probs)
+        l1 = onehot_l1_probs(labels, probs)  # lambda_l1 is 0; logged only
+        seg = sparse_categorical_crossentropy_probs(labels, probs)
         total = (
             adversarial
             + config.effective_lambda_l1 * l1

@@ -55,3 +55,33 @@ def test_discriminator_loss_structure():
     np.testing.assert_allclose(
         m["total_loss"], m["real_loss"] + m["fake_loss"], rtol=1e-6
     )
+
+
+def test_sparse_cce_matches_dense():
+    rng = np.random.default_rng(6)
+    probs = jnp.asarray(rng.random((2, 4, 4, 16)), jnp.float32)
+    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    labels = jnp.asarray(rng.integers(0, 16, (2, 4, 4)), jnp.int32)
+    import jax
+
+    onehot = jax.nn.one_hot(labels, 16, dtype=jnp.float32)
+    dense = losses.categorical_crossentropy_probs(onehot, probs)
+    sparse = losses.sparse_categorical_crossentropy_probs(labels, probs)
+    np.testing.assert_allclose(sparse, dense, rtol=1e-6)
+    # gradients must agree too (the training path uses the sparse form)
+    g_dense = jax.grad(lambda p: losses.categorical_crossentropy_probs(onehot, p))(probs)
+    g_sparse = jax.grad(lambda p: losses.sparse_categorical_crossentropy_probs(labels, p))(probs)
+    np.testing.assert_allclose(g_sparse, g_dense, rtol=1e-4, atol=1e-7)
+
+
+def test_onehot_l1_matches_dense():
+    rng = np.random.default_rng(7)
+    probs = jnp.asarray(rng.random((2, 4, 4, 16)), jnp.float32)
+    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    labels = jnp.asarray(rng.integers(0, 16, (2, 4, 4)), jnp.int32)
+    import jax
+
+    onehot = jax.nn.one_hot(labels, 16, dtype=jnp.float32)
+    dense = jnp.mean(jnp.abs(onehot - probs))
+    sparse = losses.onehot_l1_probs(labels, probs)
+    np.testing.assert_allclose(sparse, dense, rtol=1e-5)
