@@ -118,6 +118,12 @@ class Config:
     # fused Pallas histogram kernel (TPU) vs plain-XLA implementation
     use_pallas_histogram: bool = False
 
+    # network widths (reference: networks.py:57-73); overridable so tests and
+    # dry runs can construct the *real* Trainer with narrow, fast-compiling
+    # networks (same topology, same code path)
+    down_filters: Tuple[int, ...] = (64, 128, 256, 512, 512, 512)
+    up_filters: Tuple[int, ...] = (512, 512, 256, 128, 64, 32)
+
     # TPU-specific
     compute_dtype: str = "float32"  # "float32" or "bfloat16" for conv compute
     # transposed-conv lowering: "lax" (flax ConvTranspose; measured faster on
@@ -126,6 +132,10 @@ class Config:
     # shuffles cost more than the dilation saves at these shapes)
     transpose_impl: str = "lax"
     data_axis: str = "data"  # DP mesh axis name
+    # data parallelism: "auto" builds a mesh over all visible devices when
+    # more than one is present (and the batch divides), "on" forces it,
+    # "off" pins single-device execution (SURVEY.md §2.3)
+    data_parallel: str = "auto"
     donate_state: bool = True
 
     # bookkeeping

@@ -259,6 +259,8 @@ def build_generator(config) -> UnetGenerator:
         output_channels=config.generator_out_channels,
         last_activation=config.generator_last_activation,
         dtype=jnp.dtype(config.compute_dtype),
+        down_filters=tuple(getattr(config, "down_filters", (64, 128, 256, 512, 512, 512))),
+        up_filters=tuple(getattr(config, "up_filters", (512, 512, 256, 128, 64, 32))),
         transpose_impl=getattr(config, "transpose_impl", "subpixel"),
     )
 

@@ -52,6 +52,52 @@ def make_dp_train_step(
     )
 
 
+def make_dp_train_chunk(
+    config: Config, models: Models, mesh: Mesh, dataset_size: int
+) -> Callable:
+    """Data-parallel variant of train.steps.make_train_chunk: many steps fused
+    into one XLA program via lax.scan, batches sharded over the mesh.
+
+    (state, dataset_arrays, data_key, num_steps) -> (state, stacked_metrics)
+
+    The HBM-resident dataset stays replicated (it is ~5 MB); every scan
+    iteration computes the epoch-permutation batch indices identically on all
+    devices, gathers the batch locally, and a sharding constraint splits it
+    over the "data" axis — from there GSPMD partitions both networks' fwd/bwd
+    and inserts the gradient all-reduce (psum over ICI), keeping params and
+    optimizer state replicated. This is the multi-chip path BASELINE.json's
+    large-batch v5e-8 sweep config requires (SURVEY.md §2.3).
+    """
+    from functools import partial as _partial
+
+    from ..data.loader import batch_indices
+
+    step_fn = (
+        _partial(indexed_train_step, config, models)
+        if config.is_indexed
+        else _partial(rgba_train_step, config, models)
+    )
+    data_sh = batch_sharding(mesh, config.data_axis)
+
+    @_partial(
+        jax.jit,
+        static_argnames=("num_steps",),
+        donate_argnums=(0,) if config.donate_state else (),
+    )
+    def train_chunk(state: TrainState, dataset, data_key, num_steps: int):
+        def body(state, _):
+            idx = batch_indices(
+                data_key, state.step, dataset_size, config.batch_size
+            )
+            source = jax.lax.with_sharding_constraint(dataset[0][idx], data_sh)
+            target = jax.lax.with_sharding_constraint(dataset[1][idx], data_sh)
+            return step_fn(state, source, target)
+
+        return jax.lax.scan(body, state, None, length=num_steps)
+
+    return train_chunk
+
+
 def make_dp_generate_fn(config: Config, models: Models, mesh: Mesh) -> Callable:
     """Batched inference with the batch sharded across the mesh."""
     from ..train.steps import make_generate_fn  # unjitted core

@@ -252,7 +252,11 @@ def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Calla
         else partial(rgba_train_step, config, models)
     )
 
-    @partial(jax.jit, static_argnames=("num_steps",), donate_argnums=(0,))
+    @partial(
+        jax.jit,
+        static_argnames=("num_steps",),
+        donate_argnums=(0,) if config.donate_state else (),
+    )
     def train_chunk(state: TrainState, dataset, data_key, num_steps: int):
         def body(state, _):
             idx = batch_indices(

@@ -76,7 +76,29 @@ class Trainer:
             f"Discriminator: patch-disc with {param_count(self.state.d_params):,} parameters"
         )
 
-        self.train_chunk = make_train_chunk(config, self.models, self.train_ds.n)
+        # data parallelism: shard the training batch over all visible devices
+        # (SURVEY.md §2.3 — the reference is single-device; here a >1-device
+        # mesh is picked up automatically, or forced with data_parallel="on")
+        self.mesh = None
+        ndev = len(jax.devices())
+        dp_mode = getattr(config, "data_parallel", "auto")
+        if dp_mode == "on" or (
+            dp_mode == "auto" and ndev > 1 and config.batch_size % ndev == 0
+        ):
+            from ..parallel import dp as dp_mod
+            from ..parallel import mesh as mesh_mod
+
+            self.mesh = mesh_mod.make_mesh(data_axis=config.data_axis)
+            self.state = mesh_mod.replicate_state(self.mesh, self.state)
+            self.train_chunk = dp_mod.make_dp_train_chunk(
+                config, self.models, self.mesh, self.train_ds.n
+            )
+            print(
+                f"Data-parallel mesh over {ndev} devices "
+                f"(batch {config.batch_size} -> {config.batch_size // ndev}/device)"
+            )
+        else:
+            self.train_chunk = make_train_chunk(config, self.models, self.train_ds.n)
         self.generate_fn = make_generate_fn(config, self.models)
         self.discriminate_fn = make_discriminate_fn(config, self.models)
         self.manager = ckpt_mod.make_manager(config)
@@ -86,7 +108,15 @@ class Trainer:
 
     # -- dataset arrays handed to the scan (sources, targets) ---------------
     def _chunk_dataset(self):
-        return (self.train_ds.sources, self.train_ds.targets)
+        dataset = (self.train_ds.sources, self.train_ds.targets)
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_mod
+
+            sharding = mesh_mod.replicated(self.mesh)
+            dataset = jax.tree.map(
+                lambda x: jax.device_put(x, sharding), dataset
+            )
+        return dataset
 
     # ----------------------------------------------------------------------
     def fit(
@@ -347,4 +377,8 @@ class Trainer:
     def restore_latest_checkpoint(self) -> int:
         """Resume from the latest checkpoint; returns the restored step."""
         self.state = ckpt_mod.restore(self.manager, self.state)
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_mod
+
+            self.state = mesh_mod.replicate_state(self.mesh, self.state)
         return int(self.state.step)

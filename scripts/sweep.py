@@ -42,7 +42,20 @@ def measure_variant(variant: str, batch: int, steps: int, dtype: str) -> dict:
             jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
             jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
         )
-    chunk = make_train_chunk(config, models, n_data)
+    ndev = len(jax.devices())
+    if ndev > 1 and batch % ndev == 0:
+        # data-parallel mesh: batch sharded over all visible chips, params
+        # replicated (parallel/dp.py); reported rate stays per-chip
+        from palette_and_histo_gan_tpu.parallel import dp as dp_mod
+        from palette_and_histo_gan_tpu.parallel import mesh as mesh_mod
+
+        mesh = mesh_mod.make_mesh()
+        state = mesh_mod.replicate_state(mesh, state)
+        dataset = jax.device_put(dataset, mesh_mod.replicated(mesh))
+        chunk = dp_mod.make_dp_train_chunk(config, models, mesh, n_data)
+    else:
+        ndev = 1
+        chunk = make_train_chunk(config, models, n_data)
     key = jax.random.PRNGKey(1)
 
     def timed(n):
@@ -67,8 +80,10 @@ def measure_variant(variant: str, batch: int, steps: int, dtype: str) -> dict:
         "variant": variant,
         "batch": batch,
         "dtype": dtype,
+        "n_devices": ndev,
         "step_seconds": best,
         "images_per_sec": batch / best,
+        "images_per_sec_per_chip": batch / best / ndev,
     }
 
 

@@ -72,6 +72,82 @@ def test_dp_step_runs_augmented(mesh8):
     assert int(new_state.step) == 1
 
 
+def test_dp_chunk_matches_single_device_chunk(mesh8):
+    """The production multi-chip path: a scan train chunk with sharded batches
+    equals the single-device chunk numerically (VERDICT.md round-1 item 3)."""
+    from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
+    from palette_and_histo_gan_tpu.train.steps import make_train_chunk
+
+    config = config_for_variant(
+        "histogram",  # flagship: exercises augmentation + histogram loss
+        donate_state=False,
+        batch_size=8,
+        down_filters=(8,) * 6,
+        up_filters=(8,) * 6,
+    )
+    models = build_models(config)
+    state = create_train_state(config, models, jax.random.PRNGKey(3))
+
+    n_data = 16
+    rng = np.random.default_rng(21)
+    dataset = (
+        jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+        jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+    )
+    data_key = jax.random.PRNGKey(4)
+    num_steps = 3
+
+    ref_chunk = make_train_chunk(config, models, n_data)
+    ref_state, ref_metrics = ref_chunk(state, dataset, data_key, num_steps)
+
+    dp_chunk = dp_mod.make_dp_train_chunk(config, models, mesh8, n_data)
+    repl = mesh_mod.replicated(mesh8)
+    dp_state, dp_metrics = dp_chunk(
+        mesh_mod.replicate_state(mesh8, state),
+        jax.device_put(dataset, repl),
+        data_key,
+        num_steps,
+    )
+
+    assert int(dp_state.step) == num_steps
+    for key in ref_metrics:
+        np.testing.assert_allclose(
+            np.asarray(dp_metrics[key]), np.asarray(ref_metrics[key]),
+            rtol=1e-4, atol=1e-6, err_msg=key,
+        )
+    # params: the sharded batch-mean reduces in a different order than the
+    # single-device mean; Adam's 1/sqrt(v) amplifies those last-bit gradient
+    # differences over the 3 steps, so the tolerance is looser than for the
+    # (first-step-dominated) metrics above
+    for a, b in zip(
+        jax.tree.leaves(ref_state.g_params), jax.tree.leaves(dp_state.g_params)
+    ):
+        # atol 1e-4 is half an optimizer step (lr 2e-4) — far below any real
+        # divergence while absorbing per-element Adam noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_trainer_builds_mesh_when_batch_divides(tmp_path):
+    """Trainer auto-builds the DP mesh (data_parallel='auto') when >1 device
+    is visible and the batch divides across them."""
+    from palette_and_histo_gan_tpu.train.trainer import Trainer
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    config = config_for_variant(
+        "baseline-no-aug",
+        batch_size=8,
+        donate_state=False,
+        down_filters=(8,) * 6,
+        up_filters=(8,) * 6,
+        temp_folder=str(tmp_path),
+    )
+    trainer = Trainer(config)
+    assert trainer.mesh is not None
+    trainer.fit(steps=2, update_steps=2)
+    assert int(trainer.state.step) == 2
+
+
 def test_dp_generate(mesh8):
     config = config_for_variant("baseline-no-aug")
     models = tiny_models(config)
