@@ -36,6 +36,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-root", type=str, default=None)
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument(
+        "--down-filters", type=int, nargs=6, default=None,
+        help="encoder widths override (6 ints; default 64 128 256 512 512 512)",
+    )
+    p.add_argument(
+        "--up-filters", type=int, nargs=6, default=None,
+        help="decoder widths override (6 ints; default 512 512 256 128 64 32)",
+    )
+    p.add_argument(
+        "--data-parallel", choices=["auto", "on", "off"], default="auto",
+        help="shard the batch over all visible devices (parallel/dp.py)",
+    )
+    p.add_argument(
         "--callbacks",
         nargs="*",
         default=[],
@@ -56,7 +68,12 @@ def config_from_args(args) -> "Config":
         batch_size=args.batch_size,
         seed=args.seed,
         compute_dtype=args.compute_dtype,
+        data_parallel=args.data_parallel,
     )
+    if args.down_filters is not None:
+        overrides["down_filters"] = tuple(args.down_filters)
+    if args.up_filters is not None:
+        overrides["up_filters"] = tuple(args.up_filters)
     if args.lambda_l1 is not None:
         overrides["lambda_l1"] = args.lambda_l1
     if args.lambda_histogram is not None:

@@ -8,6 +8,8 @@ path generates the whole split in one jitted batched call on device.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +26,19 @@ def evaluate_l1(real_images: jnp.ndarray, fake_images: jnp.ndarray) -> jnp.ndarr
     return jnp.mean(jnp.abs(fake_images - real_images))
 
 
+@lru_cache(maxsize=8)
+def cached_generate_fn(config: Config, models: Models):
+    """One jitted generate callable per (config, models) per process.
+
+    Building a fresh closure per evaluation would create a new jax.jit cache
+    entry (and on the remote-compile TPU service, a minutes-long retrace)
+    every `update_steps` — VERDICT.md round-1 weak #4. Config is a frozen
+    hashable dataclass and Models a NamedTuple of module/optimizer singletons,
+    so they key the cache correctly.
+    """
+    return make_generate_fn(config, models)
+
+
 def generate_split_rgba(
     config: Config,
     models: Models,
@@ -31,6 +46,7 @@ def generate_split_rgba(
     ds: RgbaDataset,
     num_images: int,
     rng: jax.Array,
+    gen_fn=None,
 ):
     """(real, fake) [-1, 1] arrays for the first `num_images` of a split.
 
@@ -40,7 +56,7 @@ def generate_split_rgba(
     """
     src = normalize(ds.sources[:num_images])
     real = normalize(ds.targets[:num_images])
-    gen_fn = make_generate_fn(config, models)
+    gen_fn = gen_fn or cached_generate_fn(config, models)
     fake = gen_fn(state.g_params, src, rng)
     return real, fake
 
@@ -52,31 +68,43 @@ def generate_split_indexed(
     ds: IndexedDataset,
     num_images: int,
     rng: jax.Array,
+    gen_fn=None,
 ):
     """(real, fake) RGBA [0, 255] via per-pair palettes
     (pix2pix_model.py:433-452)."""
     src = ds.sources[:num_images]
-    gen_fn = make_generate_fn(config, models)
+    gen_fn = gen_fn or cached_generate_fn(config, models)
     fake_idx = gen_fn(state.g_params, src, rng)
     real_idx = ds.targets[:num_images]
     palettes = ds.palettes[:num_images]
-    decode = jax.jit(jax.vmap(indexed_to_rgba))
+    decode = _cached_decode()
     return (
         decode(real_idx, palettes).astype(jnp.float32),
         decode(fake_idx, palettes).astype(jnp.float32),
     )
 
 
-def generate_split(config, models, state, ds, num_images, rng):
+@lru_cache(maxsize=1)
+def _cached_decode():
+    return jax.jit(jax.vmap(indexed_to_rgba))
+
+
+def generate_split(config, models, state, ds, num_images, rng, gen_fn=None):
     if config.is_indexed:
-        return generate_split_indexed(config, models, state, ds, num_images, rng)
-    return generate_split_rgba(config, models, state, ds, num_images, rng)
+        return generate_split_indexed(
+            config, models, state, ds, num_images, rng, gen_fn
+        )
+    return generate_split_rgba(config, models, state, ds, num_images, rng, gen_fn)
 
 
-def report_l1(config, models, state, train_ds, test_ds, num_images, rng):
+def report_l1(config, models, state, train_ds, test_ds, num_images, rng, gen_fn=None):
     """(train_l1, test_l1) over the first num_images of each split
     (side2side_model.py:162-166)."""
     k1, k2 = jax.random.split(rng)
-    r_train, f_train = generate_split(config, models, state, train_ds, num_images, k1)
-    r_test, f_test = generate_split(config, models, state, test_ds, num_images, k2)
+    r_train, f_train = generate_split(
+        config, models, state, train_ds, num_images, k1, gen_fn
+    )
+    r_test, f_test = generate_split(
+        config, models, state, test_ds, num_images, k2, gen_fn
+    )
     return float(evaluate_l1(r_train, f_train)), float(evaluate_l1(r_test, f_test))

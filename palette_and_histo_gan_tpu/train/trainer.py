@@ -304,6 +304,7 @@ class Trainer:
         train_value, test_value = eval_metrics.report_l1(
             self.config, self.models, self.state,
             self.train_ds, self.test_ds, num_images, rng,
+            gen_fn=self.generate_fn,
         )
         if self.writer is not None and step is not None:
             self.writer.scalars(
@@ -320,10 +321,12 @@ class Trainer:
         rng = jax.random.PRNGKey(self.config.seed + 3)
         k1, k2 = jax.random.split(rng)
         r_train, f_train = eval_metrics.generate_split(
-            self.config, self.models, self.state, self.train_ds, num_images, k1
+            self.config, self.models, self.state, self.train_ds, num_images, k1,
+            gen_fn=self.generate_fn,
         )
         r_test, f_test = eval_metrics.generate_split(
-            self.config, self.models, self.state, self.test_ds, num_images, k2
+            self.config, self.models, self.state, self.test_ds, num_images, k2,
+            gen_fn=self.generate_fn,
         )
         train_value = self._fid.compare(r_train, f_train)
         test_value = self._fid.compare(r_test, f_test)

