@@ -25,6 +25,22 @@ import jax.numpy as jnp
 import numpy as np
 
 NORTH_STAR = 20000.0
+# TPU v5e (v5 lite) public peak: 197 TFLOP/s bf16 per chip
+V5E_PEAK_FLOPS = 197e12
+
+
+def step_flops(chunk, args, num_steps) -> float | None:
+    """Per-step FLOPs from XLA's cost model on the compiled executable.
+
+    Returns None when the backend doesn't expose cost analysis (e.g. some
+    tunneled runtimes)."""
+    try:
+        cost = chunk.lower(*args, num_steps=num_steps).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"]) / num_steps
+    except Exception:
+        return None
 
 
 def main():
@@ -74,16 +90,25 @@ def main():
         if 0 < marginal < best:
             best = marginal
     images_per_sec = batch / best
-    print(
-        json.dumps(
-            {
-                "metric": f"images/sec/chip (64x64 histogram-pix2pix train step, batch {batch}, {dtype})",
-                "value": round(images_per_sec, 1),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(images_per_sec / NORTH_STAR, 4),
-            }
-        )
+
+    # MFU from XLA's own FLOP count of the compiled step (VERDICT r1 #9);
+    # donated buffers make the timed chunk un-relowerable, so count on a
+    # fresh non-donating compile of the identical computation
+    flops = step_flops(
+        make_train_chunk(config.replace(donate_state=False), models, n_data),
+        (create_train_state(config, models, jax.random.PRNGKey(0)), dataset, data_key),
+        steps,
     )
+    record = {
+        "metric": f"images/sec/chip (64x64 histogram-pix2pix train step, batch {batch}, {dtype})",
+        "value": round(images_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / NORTH_STAR, 4),
+    }
+    if flops is not None:
+        record["flops_per_image"] = round(flops / batch)
+        record["mfu"] = round(flops / best / V5E_PEAK_FLOPS, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--seed", type=int, default=47)
     p.add_argument("--data-root", type=str, default=None)
+    p.add_argument(
+        "--data-roots",
+        type=str,
+        nargs="+",
+        default=None,
+        help="multiple dataset roots, concatenated in global-index order "
+        "(reference DATA_FOLDERS, configuration.py:6)",
+    )
+    p.add_argument(
+        "--dataset-sizes",
+        type=int,
+        nargs="+",
+        default=None,
+        help="per-root dataset sizes (reference DATASET_SIZES); "
+        "train/test split is ceil(0.85*n) per root",
+    )
     p.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default="float32")
     p.add_argument(
         "--down-filters", type=int, nargs=6, default=None,
@@ -82,6 +98,10 @@ def config_from_args(args) -> "Config":
         overrides["lambda_segmentation"] = args.lambda_segmentation
     if args.data_root is not None:
         overrides["data_root"] = args.data_root
+    if args.data_roots is not None:
+        overrides["data_roots"] = tuple(args.data_roots)
+    if args.dataset_sizes is not None:
+        overrides["dataset_sizes"] = tuple(args.dataset_sizes)
     return config_for_variant(args.model, **overrides)
 
 

@@ -110,6 +110,13 @@ class Config:
     output_channels: int = OUTPUT_CHANNELS
     augment_probability: float = 0.8
     data_root: str = dataclasses.field(default_factory=default_data_root)
+    # multi-dataset loading (reference: DATA_FOLDERS/DATASET_SIZES lists,
+    # configuration.py:6,15-21; global-index resolution across the imaginary
+    # concatenation at dataset_utils.py:186-190). Empty data_roots means
+    # (data_root,). dataset_sizes must align 1:1 with the roots; per-root
+    # train/test sizes follow the ceil(0.85 * n) split rule.
+    data_roots: Tuple[str, ...] = ()
+    dataset_sizes: Tuple[int, ...] = DATASET_SIZES
 
     # histogram loss (reference: histogram.py:36)
     histogram_size: int = 64
@@ -149,9 +156,28 @@ class Config:
         )
 
     @property
+    def effective_data_roots(self) -> Tuple[str, ...]:
+        return self.data_roots if self.data_roots else (self.data_root,)
+
+    @property
+    def train_sizes(self) -> Tuple[int, ...]:
+        """Per-dataset train sizes, ceil(0.85 * n) (configuration.py:17-18)."""
+        return tuple(math.ceil(n * TRAIN_PERCENTAGE) for n in self.dataset_sizes)
+
+    @property
+    def test_sizes(self) -> Tuple[int, ...]:
+        return tuple(
+            n - t for n, t in zip(self.dataset_sizes, self.train_sizes)
+        )
+
+    @property
+    def train_size(self) -> int:
+        return sum(self.train_sizes)
+
+    @property
     def steps(self) -> int:
         """ceil(TRAIN_SIZE / batch) * epochs (experiments.ipynb cell 10)."""
-        return math.ceil(TRAIN_SIZE / self.batch_size) * self.epochs
+        return math.ceil(self.train_size / self.batch_size) * self.epochs
 
     @property
     def update_steps(self) -> int:

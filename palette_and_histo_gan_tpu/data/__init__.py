@@ -7,6 +7,7 @@ from .loader import (
     batch_indices,
     gather_indexed_batch,
     gather_rgba_batch,
+    load_concat_split,
     load_split_arrays,
     make_indexed_datasets,
     make_rgba_datasets,
@@ -19,6 +20,7 @@ __all__ = [
     "batch_indices",
     "gather_indexed_batch",
     "gather_rgba_batch",
+    "load_concat_split",
     "load_split_arrays",
     "make_indexed_datasets",
     "make_rgba_datasets",

@@ -78,6 +78,30 @@ def load_split_arrays(
     return images
 
 
+def load_concat_split(config: Config, split: str, direction: int) -> np.ndarray:
+    """One pose for a split across *all* configured dataset roots, as one
+    (sum(sizes), 64, 64, 4) uint8 array in global-index order.
+
+    TPU-native equivalent of the reference's per-sample dataset-index
+    resolution over the imaginary concatenation of DATA_FOLDERS
+    (dataset_utils.py:186-190 tf.while_loop over DATASET_SIZES;
+    configuration.py:6,15-21): with every image decoded once up front, the
+    while_loop collapses to loading each root's shard and concatenating.
+    """
+    roots = config.effective_data_roots
+    sizes = config.train_sizes if split == "train" else config.test_sizes
+    if len(roots) != len(sizes):
+        raise ValueError(
+            f"data_roots ({len(roots)}) and dataset_sizes ({len(sizes)}) "
+            "must align 1:1"
+        )
+    parts = [
+        load_split_arrays(root, split, direction, sizes=(n,))
+        for root, n in zip(roots, sizes)
+    ]
+    return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+
+
 def prepare_rgba(images_u8: np.ndarray) -> np.ndarray:
     """uint8 -> float32 [0, 255] with transparent pixels blackened.
 
@@ -118,12 +142,8 @@ def make_rgba_datasets(config: Config) -> tuple[RgbaDataset, RgbaDataset]:
     """Device-resident equivalent of load_rgba_ds (dataset_utils.py:209-229)."""
 
     def build(split):
-        src = prepare_rgba(
-            load_split_arrays(config.data_root, split, config.source_direction)
-        )
-        tgt = prepare_rgba(
-            load_split_arrays(config.data_root, split, config.target_direction)
-        )
+        src = prepare_rgba(load_concat_split(config, split, config.source_direction))
+        tgt = prepare_rgba(load_concat_split(config, split, config.target_direction))
         return RgbaDataset(jnp.asarray(src), jnp.asarray(tgt))
 
     return build("train"), build("test")
@@ -153,10 +173,10 @@ def make_indexed_datasets(config: Config) -> tuple[IndexedDataset, IndexedDatase
         # the indexed loader reads images *unnormalized* and int-cast
         # (dataset_utils.py:138-139); blackening still applies (load_image)
         src = prepare_rgba(
-            load_split_arrays(config.data_root, split, config.source_direction)
+            load_concat_split(config, split, config.source_direction)
         ).astype(np.int32)
         tgt = prepare_rgba(
-            load_split_arrays(config.data_root, split, config.target_direction)
+            load_concat_split(config, split, config.target_direction)
         ).astype(np.int32)
         keys = jax.random.split(key, src.shape[0])
         s_idx, t_idx, pals = index_pairs(jnp.asarray(src), jnp.asarray(tgt), keys)

@@ -64,7 +64,16 @@ def _maxpool(x, window=3, stride=2, padding="VALID"):
 
 
 def _avgpool(x, window=3, stride=1, padding="SAME"):
-    return nn.avg_pool(x, (window, window), strides=(stride, stride), padding=padding)
+    # count_include_pad=False: TF/keras AveragePooling2D with SAME padding
+    # divides by the number of *valid* (unpadded) window elements; flax's
+    # default of True divides by the full window size and diverges on borders
+    return nn.avg_pool(
+        x,
+        (window, window),
+        strides=(stride, stride),
+        padding=padding,
+        count_include_pad=False,
+    )
 
 
 class InceptionV3(nn.Module):
@@ -165,60 +174,90 @@ def load_params(rng: jax.Array | None = None, input_size: int = 299):
     return model, variables
 
 
-def _params_from_npz(model, path: str, input_size: int):
-    """Load params from an .npz whose keys are the flattened Flax param paths
-    (as produced by `convert_keras_weights`)."""
-    flat = dict(np.load(path))
+NUM_CONVBN = 94  # conv2d_bn units in keras InceptionV3 (stem 5 + mixed0-10)
+
+
+def params_from_flat(model, flat: dict, input_size: int = 299):
+    """Build the model's variables pytree from a flat {path: array} dict whose
+    keys are '/'-joined Flax param paths (as produced by
+    `convert_keras_model`). Every leaf must be present with matching shape."""
     dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), dummy)
     leaves, treedef = jax.tree_util.tree_flatten_with_path(variables)
     out = []
     for keypath, leaf in leaves:
         name = "/".join(str(getattr(k, "key", k)) for k in keypath)
-        if name in flat:
-            arr = jnp.asarray(flat[name])
-            if arr.shape != leaf.shape:
-                raise ValueError(f"shape mismatch for {name}: {arr.shape} vs {leaf.shape}")
-            out.append(arr)
-        else:
-            raise KeyError(f"missing weight {name} in {path}")
+        if name not in flat:
+            raise KeyError(f"missing weight {name}")
+        arr = jnp.asarray(flat[name], dtype=leaf.dtype)
+        if arr.shape != leaf.shape:
+            raise ValueError(f"shape mismatch for {name}: {arr.shape} vs {leaf.shape}")
+        out.append(arr)
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _params_from_npz(model, path: str, input_size: int):
+    return params_from_flat(model, dict(np.load(path)), input_size)
+
+
+def _layers_in_creation_order(keras_model, cls_name: str) -> list:
+    """Layers of one class sorted by the numeric suffix keras appends at
+    creation time ('conv2d', 'conv2d_1', ... — monotone in creation order even
+    when the session's name counters started above zero)."""
+    import re
+
+    layers = [l for l in keras_model.layers if l.__class__.__name__ == cls_name]
+
+    def creation_index(layer):
+        m = re.search(r"_(\d+)$", layer.name)
+        return int(m.group(1)) if m else -1
+
+    return sorted(layers, key=creation_index)
+
+
+def convert_keras_model(keras_model) -> dict:
+    """Name-based weight conversion from a live keras InceptionV3
+    (include_top=False) to the flat Flax param layout of `params_from_flat`.
+
+    keras' inception_v3.conv2d_bn creates each Conv2D and its
+    BatchNormalization together, in source-text call order — the same order
+    this module's `InceptionV3.__call__` instantiates its ConvBN submodules.
+    So the k-th *created* keras Conv2D/BN pair is exactly flax `ConvBN_k`.
+    Matching is by creation index parsed from layer names (never by zip over
+    alphabetically-sorted path lists, where 'ConvBN_10' < 'ConvBN_2').
+    Full-network feature parity is asserted in tests/test_fid.py.
+    """
+    conv_layers = _layers_in_creation_order(keras_model, "Conv2D")
+    bn_layers = _layers_in_creation_order(keras_model, "BatchNormalization")
+    if len(conv_layers) != NUM_CONVBN or len(bn_layers) != NUM_CONVBN:
+        raise ValueError(
+            f"expected {NUM_CONVBN} Conv2D/BatchNormalization pairs, got "
+            f"{len(conv_layers)}/{len(bn_layers)} — not a notop InceptionV3?"
+        )
+    flat = {}
+    for k, (cl, bl) in enumerate(zip(conv_layers, bn_layers)):
+        prefix = f"params/ConvBN_{k}"
+        (kernel,) = cl.get_weights()  # use_bias=False in conv2d_bn
+        # BN has scale=False, center=True: weights are [beta, mean, variance]
+        beta, mean, var = bl.get_weights()
+        if kernel.shape[-1] != beta.shape[0]:
+            raise ValueError(
+                f"conv/bn channel mismatch at unit {k}: {cl.name} vs {bl.name}"
+            )
+        flat[f"{prefix}/Conv_0/kernel"] = kernel
+        flat[f"{prefix}/beta"] = beta
+        flat[f"{prefix}/mean"] = mean
+        flat[f"{prefix}/var"] = var
+    return flat
 
 
 def convert_keras_weights(h5_path: str, out_npz: str) -> None:
     """Convert keras InceptionV3 notop weights (.h5) into the .npz layout
-    consumed by `load_params`. Requires h5py or TF at conversion time; meant
-    to run once, offline, wherever the keras weights file exists."""
+    consumed by `load_params`. Requires TF at conversion time; meant to run
+    once, offline, wherever the keras weights file exists."""
     import tensorflow as tf  # conversion-time only
 
     keras_model = tf.keras.applications.InceptionV3(
         include_top=False, pooling="avg", weights=h5_path
     )
-    model = InceptionV3()
-    dummy = jnp.zeros((1, 299, 299, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy)
-
-    conv_weights = [
-        w for layer in keras_model.layers if "conv" in layer.name.lower()
-        for w in layer.get_weights()
-    ]
-    bn_layers = [l for l in keras_model.layers if "batch_normalization" in l.name]
-    conv_layers = [l for l in keras_model.layers if l.__class__.__name__ == "Conv2D"]
-
-    flat = {}
-    leaves = jax.tree_util.tree_flatten_with_path(variables)[0]
-    conv_kernels = [(p, l) for p, l in leaves if str(p[-1].key) == "kernel"]
-    means = [(p, l) for p, l in leaves if str(p[-1].key) == "mean"]
-    vars_ = [(p, l) for p, l in leaves if str(p[-1].key) == "var"]
-    betas = [(p, l) for p, l in leaves if str(p[-1].key) == "beta"]
-    if len(conv_kernels) != len(conv_layers) or len(means) != len(bn_layers):
-        raise ValueError("layer count mismatch between keras and flax models")
-    for (path, leaf), kl in zip(conv_kernels, conv_layers):
-        name = "/".join(str(getattr(k, "key", k)) for k in path)
-        flat[name] = kl.get_weights()[0]
-    for group, idx in (("beta", 0), ("mean", 1), ("var", 2)):
-        tgt = {"beta": betas, "mean": means, "var": vars_}[group]
-        for (path, leaf), bl in zip(tgt, bn_layers):
-            name = "/".join(str(getattr(k, "key", k)) for k in path)
-            flat[name] = bl.get_weights()[idx]
-    np.savez(out_npz, **flat)
+    np.savez(out_npz, **convert_keras_model(keras_model))

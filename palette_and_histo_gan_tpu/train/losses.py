@@ -35,16 +35,20 @@ def categorical_crossentropy_probs(
     return jnp.mean(per_example)
 
 
-def _select_label_prob(labels: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
-    """p[..., label] via a comparison mask + reduction.
+def _select_label(labels: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """values[..., label] via a comparison mask + reduction.
 
     On TPU a masked sum beats take_along_axis (gathers are slow) and avoids
     materializing a float one-hot tensor; the bool mask fuses into the
-    reduction."""
-    classes = probs.shape[-1]
+    reduction. Exact for any values (exactly one mask element is true per
+    position)."""
+    classes = values.shape[-1]
     class_ids = jax.lax.broadcasted_iota(jnp.int32, (classes,), 0)
     mask = labels[..., None] == class_ids
-    return jnp.sum(jnp.where(mask, probs, 0.0), axis=-1)
+    return jnp.sum(jnp.where(mask, values, 0.0), axis=-1)
+
+
+_select_label_prob = _select_label  # historical name
 
 
 def sparse_categorical_crossentropy_probs(
@@ -68,6 +72,48 @@ def onehot_l1_probs(labels: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
     total = jnp.sum(probs, axis=-1)
     p_t = _select_label_prob(labels, probs)
     return jnp.mean((1.0 + total - 2.0 * p_t) / c)
+
+
+# ---------------------------------------------------------------------------
+# Log-space forms: same keras CCE/L1 values straight from logits, so the
+# (B, H, W, 256) softmax tensor of the indexed generator
+# (pix2pix_model.py:267-268 "softmax" head, :265 CCE, :273-278) is never
+# materialized — only a fused logsumexp and a masked select touch the full
+# logits tensor. The backward of logsumexp recomputes softmax in one pass.
+# ---------------------------------------------------------------------------
+
+
+def sparse_categorical_crossentropy_logits(
+    labels: jnp.ndarray, logits: jnp.ndarray
+) -> jnp.ndarray:
+    """Same value as sparse_categorical_crossentropy_probs(labels,
+    softmax(logits)), computed in log-space.
+
+    With p = softmax(z): sum(p) == 1 so the keras renormalize is the
+    identity, and -log(clip(p_t, eps, 1-eps)) == clip(lse - z_t,
+    -log(1-eps), -log(eps)). jnp.clip's zero-gradient-outside-bounds matches
+    keras' clip_by_value exactly (both kill the gradient where the clip
+    binds). Equality with the probs form is asserted in tests/test_losses.py.
+    """
+    lse = jax.scipy.special.logsumexp(
+        logits.astype(jnp.float32), axis=-1
+    )
+    z_t = _select_label(labels, logits).astype(jnp.float32)
+    neg_logp = lse - z_t
+    lo = -jnp.log1p(-KERAS_EPSILON)  # binds when p_t > 1 - eps
+    hi = -jnp.log(KERAS_EPSILON)  # binds when p_t < eps
+    return jnp.mean(jnp.clip(neg_logp, lo, hi))
+
+
+def onehot_l1_logits(labels: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    """Same value as onehot_l1_probs(labels, softmax(logits)): with
+    total == 1 the class-mean is 2 * (1 - p_t) / C, and
+    p_t = exp(z_t - logsumexp(z))."""
+    c = logits.shape[-1]
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    z_t = _select_label(labels, logits).astype(jnp.float32)
+    p_t = jnp.exp(z_t - lse)
+    return jnp.mean(2.0 * (1.0 - p_t) / c)
 
 
 def generator_loss(

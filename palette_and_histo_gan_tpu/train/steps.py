@@ -36,8 +36,8 @@ from .losses import (
     bce_with_logits,
     discriminator_loss,
     generator_loss,
-    onehot_l1_probs,
-    sparse_categorical_crossentropy_probs,
+    onehot_l1_logits,
+    sparse_categorical_crossentropy_logits,
 )
 from .state import Models, TrainState
 
@@ -46,6 +46,20 @@ def _apply_generator(models: Models, params, source, rng):
     """Generator forward with dropout active, as the reference always runs it
     (training=True everywhere, pix2pix_model.py:60,67)."""
     return models.generator.apply(
+        {"params": params}, source, deterministic=False, rngs={"dropout": rng}
+    )
+
+
+def _apply_generator_logits(models: Models, params, source, rng):
+    """Generator forward returning pre-softmax logits (indexed variant).
+
+    The softmax head (pix2pix_model.py:267-268) has no parameters, so applying
+    a linear-activation clone of the same module with the same params yields
+    exactly softmax^{-1}-composable logits: argmax and the log-space losses
+    (train/losses.py) are computed from them without ever materializing the
+    (B, H, W, 256) probability tensor."""
+    logits_gen = models.generator.clone(last_activation="linear")
+    return logits_gen.apply(
         {"params": params}, source, deterministic=False, rngs={"dropout": rng}
     )
 
@@ -172,17 +186,18 @@ def indexed_train_step(
 
     source = source_idx.astype(jnp.float32)  # (B, H, W, 1), raw index scale
     real = target_idx.astype(jnp.float32)
-    labels = target_idx[..., 0]  # sparse labels; the one-hot tensor
-    # ((B, H, W, 256) float) is never materialized — the gather-based loss
-    # forms below are exact equalities (train/losses.py)
+    labels = target_idx[..., 0]  # sparse labels; neither the one-hot tensor
+    # nor the softmax probability tensor ((B, H, W, 256) float) is ever
+    # materialized — argmax is softmax-invariant and the log-space loss forms
+    # below are exact equalities with the keras probs forms (train/losses.py)
 
     def g_loss_fn(g_params):
-        probs = _apply_generator(models, g_params, source, k_drop)
-        fake_idx = jnp.argmax(probs, axis=-1)[..., None].astype(jnp.float32)
+        logits = _apply_generator_logits(models, g_params, source, k_drop)
+        fake_idx = jnp.argmax(logits, axis=-1)[..., None].astype(jnp.float32)
         fake_pred = _apply_discriminator(models, state.d_params, fake_idx, source)
         adversarial = bce_with_logits(jnp.ones_like(fake_pred), fake_pred)
-        l1 = onehot_l1_probs(labels, probs)  # lambda_l1 is 0; logged only
-        seg = sparse_categorical_crossentropy_probs(labels, probs)
+        l1 = onehot_l1_logits(labels, logits)  # lambda_l1 is 0; logged only
+        seg = sparse_categorical_crossentropy_logits(labels, logits)
         total = (
             adversarial
             + config.effective_lambda_l1 * l1
@@ -282,10 +297,12 @@ def make_generate_fn(config: Config, models: Models) -> Callable:
 
     def generate(g_params, source, rng):
         if config.is_indexed:
-            probs = _apply_generator(
+            # argmax over logits == argmax over softmax(logits), skipping the
+            # (B, H, W, 256) probability tensor (pix2pix_model.py:283-287)
+            logits = _apply_generator_logits(
                 models, g_params, source.astype(jnp.float32), rng
             )
-            return jnp.argmax(probs, axis=-1)[..., None].astype(jnp.int32)
+            return jnp.argmax(logits, axis=-1)[..., None].astype(jnp.int32)
         return _apply_generator(models, g_params, source, rng)
 
     return jax.jit(generate)

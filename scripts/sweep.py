@@ -21,12 +21,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure_variant(variant: str, batch: int, steps: int, dtype: str) -> dict:
+def measure_variant(
+    variant: str, batch: int, steps: int, dtype: str, overrides: dict | None = None
+) -> dict:
     from palette_and_histo_gan_tpu.config import config_for_variant
     from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
     from palette_and_histo_gan_tpu.train.steps import make_train_chunk
 
-    config = config_for_variant(variant, compute_dtype=dtype, batch_size=batch)
+    config = config_for_variant(
+        variant, compute_dtype=dtype, batch_size=batch, **(overrides or {})
+    )
     models = build_models(config)
     state = create_train_state(config, models, jax.random.PRNGKey(0))
 
@@ -98,13 +102,34 @@ def main():
         default=["baseline-no-aug", "baseline", "indexed", "histogram"],
     )
     p.add_argument("--out", default="sweep_results.json")
+    p.add_argument(
+        "--override",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="Config field override for A/B experiments "
+        "(e.g. --override transpose_impl=subpixel); values are literal-eval'd "
+        "with a string fallback",
+    )
     args = p.parse_args()
+
+    import ast
+
+    overrides = {}
+    for item in args.override:
+        key, _, value = item.partition("=")
+        try:
+            overrides[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            overrides[key] = value
 
     results = []
     for variant in args.variants:
         for batch in args.batches:
             try:
-                r = measure_variant(variant, batch, args.steps, args.dtype)
+                r = measure_variant(variant, batch, args.steps, args.dtype, overrides)
+                if overrides:
+                    r["overrides"] = {k: str(v) for k, v in overrides.items()}
             except Exception as e:  # OOM etc.
                 r = {"variant": variant, "batch": batch, "error": str(e)[:200]}
             print(json.dumps(r))

@@ -96,8 +96,9 @@ def test_augment_batch_shapes_and_jit():
 
 
 def test_augment_batch_shift_matches_translate_nearest():
-    """The batched fast path (padded dynamic_slice) must match the
-    per-image gather implementation for the same offsets."""
+    """Integer shifts expressed either way (the production path uses one-hot
+    shift matmuls, see augment_batch) must match the per-image gather
+    implementation translate_nearest for the same offsets."""
     rng = np.random.default_rng(11)
     imgs = jnp.asarray(rng.integers(0, 256, (6, 16, 16, 4)), jnp.float32)
     offsets = rng.uniform(-2.4, 1.2, (6, 2)).astype(np.float32)
@@ -112,3 +113,60 @@ def test_augment_batch_shift_matches_translate_nearest():
             (16, 16, 4),
         )
         np.testing.assert_allclose(fast, ref, atol=1e-5)
+
+
+def test_augment_batch_end_to_end_matches_per_image_reference():
+    """The production batched path (hue rotation -> one-hot-matmul shift ->
+    probability select; the one actually run inside the train step) must
+    equal, per image, the TF-golden-tested primitives adjust_hue +
+    translate_nearest composed with the same draws. Replicates
+    augment_batch's documented RNG contract (four batched draws:
+    choice, delta, dy, dx) and checks both the augmented and the
+    passed-through branches (dataset_utils.py:80-120 semantics)."""
+    key = jax.random.PRNGKey(12)
+    rng = np.random.default_rng(13)
+    b, h, w = 8, 16, 16
+    srcs = jnp.asarray(rng.integers(0, 256, (b, h, w, 4)), jnp.float32)
+    tgts = jnp.asarray(rng.integers(0, 256, (b, h, w, 4)), jnp.float32)
+    prob = 0.5  # exercise both branches
+
+    out_s, out_t = jax.jit(augment.augment_batch, static_argnames="prob")(
+        srcs, tgts, key, prob=prob
+    )
+
+    k_choice, k_hue, k_dy, k_dx = jax.random.split(key, 4)
+    choice = np.asarray(jax.random.uniform(k_choice, (b,)))
+    delta = np.asarray(
+        jax.random.uniform(
+            k_hue, (b,), minval=-augment.MAX_HUE_DELTA, maxval=augment.MAX_HUE_DELTA
+        )
+    )
+    dy = np.asarray(
+        jax.random.uniform(
+            k_dy, (b,), minval=augment.HEIGHT_FACTOR[0], maxval=augment.HEIGHT_FACTOR[1]
+        )
+    ) * h
+    dx = np.asarray(
+        jax.random.uniform(
+            k_dx, (b,), minval=augment.WIDTH_FACTOR[0], maxval=augment.WIDTH_FACTOR[1]
+        )
+    ) * w
+
+    took_aug = 0
+    for i in range(b):
+        def reference(img):
+            rgb = augment.adjust_hue(img[..., :3], delta[i])
+            rotated = jnp.concatenate([rgb, img[..., 3:]], axis=-1)
+            # pre-rounded offsets: the batched path shifts by whole pixels
+            return augment.translate_nearest(
+                rotated, float(np.round(dy[i])), float(np.round(dx[i]))
+            )
+
+        if choice[i] < prob:
+            took_aug += 1
+            np.testing.assert_allclose(out_s[i], reference(srcs[i]), atol=1e-3)
+            np.testing.assert_allclose(out_t[i], reference(tgts[i]), atol=1e-3)
+        else:
+            np.testing.assert_allclose(out_s[i], srcs[i], atol=0)
+            np.testing.assert_allclose(out_t[i], tgts[i], atol=0)
+    assert 0 < took_aug < b  # both branches actually exercised

@@ -87,3 +87,65 @@ def test_indexed_palettes_joint():
     # target decodes through the same joint palette
     back = pal_ops.indexed_to_rgba(test.targets[3], test.palettes[3])
     np.testing.assert_array_equal(np.asarray(back), raw_tgt[3])
+
+
+def _write_synthetic_root(root, n, directions=(2, 3), seed=0):
+    """A miniature dataset root in the reference's on-disk scheme
+    (datasets/<ds>/<train|test>/<i-dir>/<n>.png, dataset_utils.py:197-202)."""
+    from PIL import Image
+
+    from palette_and_histo_gan_tpu.config import DIRECTION_FOLDERS, TRAIN_PERCENTAGE
+    import math
+
+    n_train = math.ceil(n * TRAIN_PERCENTAGE)
+    rng = np.random.default_rng(seed)
+    for split, count, offset in (("train", n_train, 0), ("test", n - n_train, 0)):
+        for d in directions:
+            folder = os.path.join(root, split, DIRECTION_FOLDERS[d])
+            os.makedirs(folder, exist_ok=True)
+            for i in range(count):
+                img = rng.integers(0, 256, (64, 64, 4), dtype=np.uint8)
+                img[..., 3] = np.where(img[..., 3] > 64, 255, 0)  # some alpha
+                Image.fromarray(img, "RGBA").save(os.path.join(folder, f"{i}.png"))
+
+
+def test_multi_dataset_concat(tmp_path):
+    """load_concat_split resolves a global index across several dataset
+    roots exactly like the reference's while_loop over DATASET_SIZES
+    (dataset_utils.py:186-190): root A's images come first, then root B's."""
+    root_a, root_b = str(tmp_path / "ds_a"), str(tmp_path / "ds_b")
+    _write_synthetic_root(root_a, 10, seed=1)
+    _write_synthetic_root(root_b, 12, seed=2)
+
+    config = config_for_variant(
+        "baseline-no-aug",
+        data_roots=(root_a, root_b),
+        dataset_sizes=(10, 12),
+    )
+    assert config.train_sizes == (9, 11) and config.test_sizes == (1, 1)
+    assert config.train_size == 20
+
+    arr = loader.load_concat_split(config, "train", 2)
+    assert arr.shape == (20, 64, 64, 4)
+    # global-index order: entry 0 is root A's 0.png, entry 9+0 is root B's
+    only_a = loader.load_split_arrays(root_a, "train", 2, sizes=(9,))
+    only_b = loader.load_split_arrays(root_b, "train", 2, sizes=(11,))
+    np.testing.assert_array_equal(arr[:9], only_a)
+    np.testing.assert_array_equal(arr[9:], only_b)
+
+    train, test = loader.make_rgba_datasets(config)
+    assert train.n == 20 and test.n == 2
+    # schedule follows the combined train size (experiments.ipynb cell 10)
+    import math
+
+    assert config.steps == math.ceil(20 / config.batch_size) * config.epochs
+
+
+def test_dataset_sizes_mismatch_raises(tmp_path):
+    config = config_for_variant(
+        "baseline-no-aug",
+        data_roots=(str(tmp_path),),
+        dataset_sizes=(10, 12),
+    )
+    with pytest.raises(ValueError):
+        loader.load_concat_split(config, "train", 2)

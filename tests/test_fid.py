@@ -113,3 +113,51 @@ def test_fid_evaluator_end_to_end_small():
     # and the scipy reference path agrees with Newton-Schulz to ~2%
     val_diff_scipy = ev.compare(a, b, method="scipy")
     assert abs(val_diff - val_diff_scipy) <= 2e-2 * abs(val_diff_scipy) + 1e-3
+
+
+@pytest.mark.slow
+def test_flax_inception_matches_keras_full_network():
+    """Full-network parity: the Flax InceptionV3 with weights converted from
+    a live keras InceptionV3 (randomized, so BN stats/offsets are exercised)
+    produces the same pooled 2048-d features. This validates both the
+    architecture and convert_keras_model end-to-end — the moment real
+    pretrained weights are supplied (PHG_INCEPTION_WEIGHTS), FID becomes
+    numerically comparable to the reference
+    (frechet_inception_distance.py:76)."""
+    tf = pytest.importorskip("tensorflow")
+    from palette_and_histo_gan_tpu.models import inception
+
+    keras_model = tf.keras.applications.InceptionV3(
+        include_top=False, pooling="avg", weights=None, input_shape=(75, 75, 3)
+    )
+    # randomize every weight with activation-preserving scales: he-normal conv
+    # kernels, nonzero BN offsets/statistics (weights=None leaves BN at the
+    # identity, which would mask any beta/mean/var mis-assignment)
+    rng = np.random.default_rng(11)
+    for layer in keras_model.layers:
+        ws = layer.get_weights()
+        if not ws:
+            continue
+        new = []
+        for w in ws:
+            if w.ndim == 4:  # conv kernel
+                fan_in = w.shape[0] * w.shape[1] * w.shape[2]
+                new.append(rng.normal(0, np.sqrt(2.0 / fan_in), w.shape).astype(np.float32))
+            elif "variance" in str(layer.weights[len(new)].name):
+                new.append(rng.uniform(0.5, 1.5, w.shape).astype(np.float32))
+            else:  # beta / moving_mean
+                new.append(rng.normal(0, 0.1, w.shape).astype(np.float32))
+        layer.set_weights(new)
+
+    flat = inception.convert_keras_model(keras_model)
+    model = inception.InceptionV3()
+    variables = inception.params_from_flat(model, flat, input_size=75)
+
+    x = rng.uniform(-1, 1, (4, 75, 75, 3)).astype(np.float32)
+    theirs = keras_model.predict(x, verbose=0)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+
+    assert ours.shape == theirs.shape == (4, 2048)
+    assert theirs.std() > 1e-6  # non-degenerate features
+    scale = np.abs(theirs).max()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3 * scale)

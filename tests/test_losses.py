@@ -85,3 +85,47 @@ def test_onehot_l1_matches_dense():
     dense = jnp.mean(jnp.abs(onehot - probs))
     sparse = losses.onehot_l1_probs(labels, probs)
     np.testing.assert_allclose(sparse, dense, rtol=1e-5)
+
+
+def test_logits_cce_matches_probs_form():
+    """The log-space CCE (the indexed train path) equals the keras probs form
+    composed with softmax — values and gradients (pix2pix_model.py:265)."""
+    import jax
+
+    rng = np.random.default_rng(8)
+    # include extreme logits so the keras clip binds on both sides
+    logits = jnp.asarray(rng.normal(0, 8, (2, 4, 4, 16)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 16, (2, 4, 4)), jnp.int32)
+
+    def probs_form(z):
+        return losses.sparse_categorical_crossentropy_probs(
+            labels, jax.nn.softmax(z, axis=-1)
+        )
+
+    def logits_form(z):
+        return losses.sparse_categorical_crossentropy_logits(labels, z)
+
+    np.testing.assert_allclose(logits_form(logits), probs_form(logits), rtol=1e-5)
+    g_probs = jax.grad(probs_form)(logits)
+    g_logits = jax.grad(logits_form)(logits)
+    np.testing.assert_allclose(g_logits, g_probs, rtol=1e-4, atol=1e-7)
+
+    # clip regime: a certain prediction (p_t > 1 - eps) must yield the
+    # clipped loss value and a zero gradient, exactly like keras clip_by_value
+    sure = jnp.zeros((1, 1, 1, 16), jnp.float32).at[..., 3].set(60.0)
+    lab = jnp.full((1, 1, 1), 3, jnp.int32)
+    val = losses.sparse_categorical_crossentropy_logits(lab, sure)
+    np.testing.assert_allclose(val, -np.log1p(-losses.KERAS_EPSILON), rtol=1e-6)
+    g = jax.grad(lambda z: losses.sparse_categorical_crossentropy_logits(lab, z))(sure)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_logits_l1_matches_probs_form():
+    import jax
+
+    rng = np.random.default_rng(9)
+    logits = jnp.asarray(rng.normal(0, 3, (2, 4, 4, 16)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 16, (2, 4, 4)), jnp.int32)
+    probs_form = losses.onehot_l1_probs(labels, jax.nn.softmax(logits, axis=-1))
+    logits_form = losses.onehot_l1_logits(labels, logits)
+    np.testing.assert_allclose(logits_form, probs_form, rtol=1e-5)
