@@ -217,12 +217,18 @@ class UnetGenerator(nn.Module):
             kernel_init=conv_init,
             dtype=self.dtype,
         )(x)
+        if self.last_activation == "linear":
+            # raw logits stay in the compute dtype: an f32 upcast here adds
+            # no information (consumers upcast pointwise before reducing —
+            # losses/argmax are bit-identical) but would materialize a 2x
+            # larger tensor; at (B, 64, 64, 256) that is real HBM traffic
+            return x
         x = x.astype(jnp.float32)
         if self.last_activation == "tanh":
             x = jnp.tanh(x)
         elif self.last_activation == "softmax":
             x = nn.softmax(x, axis=-1)
-        elif self.last_activation != "linear":
+        else:
             raise ValueError(f"unknown activation {self.last_activation!r}")
         return x
 

@@ -196,9 +196,13 @@ def augment_batch(
 
         def shift(img):
             # out[y, x, c] = sum_{j,k} P[y, j] img[j, k, c] Q[x, k]
+            # HIGH (bf16x3) is *exact* here, not approximate: P/Q are 0/1
+            # (no low bf16 half), so the cross terms reconstruct
+            # P @ (img_hi + img_lo) bit-exactly while costing half of
+            # HIGHEST's six MXU passes
             return jnp.einsum(
                 "yj,jkc,xk->yxc", p_mat, img, q_mat,
-                precision=jax.lax.Precision.HIGHEST,  # exact: one term per out
+                precision=jax.lax.Precision.HIGH,
             )
 
         aug_s = shift(rotate(src))

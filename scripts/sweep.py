@@ -80,7 +80,7 @@ def measure_variant(
         marginal = (t_full - t_short) / (steps - short)
         if 0 < marginal < best:
             best = marginal
-    return {
+    record = {
         "variant": variant,
         "batch": batch,
         "dtype": dtype,
@@ -89,6 +89,30 @@ def measure_variant(
         "images_per_sec": batch / best,
         "images_per_sec_per_chip": batch / best / ndev,
     }
+    # per-variant MFU from XLA's FLOP count of the compiled step (VERDICT r1
+    # #9): substantiates the roofline each variant sits against — the indexed
+    # variant's 256-channel k4s1 head conv alone is ~3.7 TFLOP/step fwd+bwd
+    # at batch 1024, so its throughput ceiling differs from the RGBA variants
+    if ndev == 1:
+        try:
+            fresh_state = create_train_state(config, models, jax.random.PRNGKey(0))
+            cost = (
+                make_train_chunk(
+                    config.replace(donate_state=False), models, n_data
+                )
+                .lower(fresh_state, dataset, key, num_steps=steps)
+                .compile()
+                .cost_analysis()
+            )
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost["flops"]) / steps
+            record["flops_per_image"] = round(flops / batch)
+            # TPU v5e public peak: 197 TFLOP/s bf16
+            record["mfu"] = round(flops / best / 197e12, 4)
+        except Exception:
+            pass
+    return record
 
 
 def main():

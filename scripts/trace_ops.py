@@ -1,0 +1,146 @@
+"""Per-op device-time breakdown of a train computation via jax.profiler.
+
+Captures a profiler trace of a few chunk steps, then parses the xplane
+protobuf (TF ships the proto bindings) and aggregates device time by HLO
+op category — the ground truth for where step time goes, when the tunneled
+backend supports trace export.
+
+Usage:
+    python scripts/trace_ops.py [--variant histogram] [--batch 1024] [--top 30]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def capture(variant: str, batch: int, dtype: str, steps: int, log_dir: str):
+    from palette_and_histo_gan_tpu.config import config_for_variant
+    from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
+    from palette_and_histo_gan_tpu.train.steps import make_train_chunk
+
+    config = config_for_variant(
+        variant, compute_dtype=dtype, batch_size=batch, donate_state=False
+    )
+    models = build_models(config)
+    state = create_train_state(config, models, jax.random.PRNGKey(0))
+    n_data = max(1024, batch)
+    rng = np.random.default_rng(0)
+    if config.is_indexed:
+        dataset = (
+            jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 1)), jnp.int32),
+            jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 1)), jnp.int32),
+        )
+    else:
+        dataset = (
+            jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+        )
+    chunk = make_train_chunk(config, models, n_data)
+    key = jax.random.PRNGKey(1)
+    state, mm = chunk(state, dataset, key, 2)  # compile outside the trace
+    float(mm["generator/total_loss"][-1])
+    jax.profiler.start_trace(log_dir)
+    state, mm = chunk(state, dataset, key, steps)
+    float(mm["generator/total_loss"][-1])
+    jax.profiler.stop_trace()
+
+
+def aggregate(log_dir: str, top: int, steps: int):
+    import importlib
+
+    xplane_pb2 = None
+    for mod in (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+        "tensorflow.core.profiler.protobuf.xplane_pb2",
+        "tsl.profiler.protobuf.xplane_pb2",
+    ):
+        try:
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        print("xplane proto bindings unavailable")
+        return
+
+    paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        print("no xplane.pb produced — tunnel backend may not support tracing")
+        return
+    by_name = collections.Counter()
+    total = 0.0
+    for path in paths:
+        xspace = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xspace.ParseFromString(f.read())
+        for plane in xspace.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            meta = plane.event_metadata
+            for line in plane.lines:
+                # leaf compute ops only; 'Async XLA Ops' (prefetch copies)
+                # overlap compute and 'XLA Modules'/'Steps' are umbrellas
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = meta[ev.metadata_id].name
+                    if name.startswith(("%while", "jit_", "%jit")):
+                        continue
+                    dur = ev.duration_ps / 1e12
+                    by_name[name] += dur
+                    total += dur
+    if not by_name:
+        print("no XLA op events found in trace")
+        return
+    # bucket by a coarse category from the op name
+    def category(name):
+        n = name.lower()
+        for key in (
+            "convolution", "dot", "fusion", "reduce", "copy", "transpose",
+            "all-reduce", "rng", "scatter", "gather", "convert", "select",
+        ):
+            if key in n:
+                return key
+        return "other"
+
+    by_cat = collections.Counter()
+    for name, dur in by_name.items():
+        by_cat[category(name)] += dur
+    print(json.dumps({"total_device_s": round(total, 4), "per_step_ms": round(total / steps * 1e3, 2)}))
+    for cat, dur in by_cat.most_common():
+        print(f"{cat:14s} {dur/steps*1e3:8.2f} ms/step  {dur/total*100:5.1f}%")
+    print("--- top ops ---")
+    for name, dur in by_name.most_common(top):
+        print(f"{dur/steps*1e3:8.3f} ms/step  {name[:110]}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="histogram")
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--top", type=int, default=30)
+    p.add_argument("--log-dir", default="/tmp/phg_trace")
+    p.add_argument("--aggregate-only", action="store_true")
+    args = p.parse_args()
+    if not args.aggregate_only:
+        os.system(f"rm -rf {args.log_dir}")
+        capture(args.variant, args.batch, args.dtype, args.steps, args.log_dir)
+    aggregate(args.log_dir, args.top, args.steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -161,3 +161,42 @@ def test_flax_inception_matches_keras_full_network():
     assert theirs.std() > 1e-6  # non-degenerate features
     scale = np.abs(theirs).max()
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-3 * scale)
+
+
+@pytest.mark.slow
+def test_fid_small_sample_rank_deficient_matches_scipy():
+    """The reference's operating regime: 44 images vs 2048-d features, so
+    both covariances have rank <= 43 (frechet_inception_distance.py:27-41,
+    side2side_model.py:144-148). scipy's sqrtm warns about singularity and
+    can yield tiny negative distances for near-identical sets — that is
+    reference behavior, not a bug. This pins our eigh-based path to the
+    scipy value in exactly that regime."""
+    rng = np.random.default_rng(17)
+    # low-rank features: 44 samples in 2048 dims (rank <= 43 covariances)
+    a = rng.normal(size=(44, 2048)).astype(np.float32)
+    b = (a + rng.normal(0, 0.5, a.shape)).astype(np.float32)
+
+    mu1, s1 = fid_mod.activation_statistics(jnp.asarray(a))
+    mu2, s2 = fid_mod.activation_statistics(jnp.asarray(b))
+
+    ref = fid_mod.frechet_distance_scipy(
+        np.asarray(mu1), np.asarray(s1), np.asarray(mu2), np.asarray(s2)
+    )
+
+    # the exact low-rank cross-Gram path (the default at n < dim) tracks the
+    # f64 scipy value tightly
+    lowrank = float(
+        fid_mod.frechet_distance_lowrank(jnp.asarray(a), jnp.asarray(b))
+    )
+    assert np.isfinite(lowrank)
+    assert abs(lowrank - ref) <= 1e-2 * abs(ref) + 1e-2
+
+    # the f32 eigh matrix path carries real error in this regime (measured
+    # ~2.6% here, and an O(10) absolute floor on identical sets) — which is
+    # exactly why the low-rank path exists and is the default
+    eigh_val = float(fid_mod.frechet_distance(mu1, s1, mu2, s2))
+    assert abs(eigh_val - ref) <= 5e-2 * abs(ref) + 1e-2
+
+    # identical sets through the low-rank path: ~0, no error floor
+    same = float(fid_mod.frechet_distance_lowrank(jnp.asarray(a), jnp.asarray(a)))
+    assert abs(same) < 1e-3 * abs(ref) + 1e-3
