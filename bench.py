@@ -29,23 +29,22 @@ NORTH_STAR = 20000.0
 V5E_PEAK_FLOPS = 197e12
 
 
-def step_flops(chunk, args, num_steps) -> float | None:
-    """Per-step FLOPs from XLA's cost model on the compiled executable.
+def step_flops(config, batch) -> float:
+    """Analytic MXU FLOPs per step (utils/flops.py).
 
-    Returns None when the backend doesn't expose cost analysis (e.g. some
-    tunneled runtimes)."""
-    try:
-        cost = chunk.lower(*args, num_steps=num_steps).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost["flops"]) / num_steps
-    except Exception:
-        return None
+    XLA's `cost_analysis()` is NOT used: on this backend TPU convolutions
+    lower to custom calls with no attributed FLOPs, undercounting ~15x."""
+    from palette_and_histo_gan_tpu.utils.flops import train_step_flops_per_image
+
+    return train_step_flops_per_image(config) * batch
 
 
 def main():
     batch = int(os.environ.get("PHG_BENCH_BATCH", "1024"))
-    steps = int(os.environ.get("PHG_BENCH_STEPS", "30"))
+    # 60-step chunks: short-chunk marginals on the tunneled backend have
+    # produced up-to-4x-optimistic artifacts at 20 steps (ab8 vs ab9 A/B);
+    # longer chunks amortize whatever the relay hides
+    steps = int(os.environ.get("PHG_BENCH_STEPS", "60"))
     dtype = os.environ.get("PHG_BENCH_DTYPE", "bfloat16")
 
     from palette_and_histo_gan_tpu.config import config_for_variant
@@ -91,23 +90,16 @@ def main():
             best = marginal
     images_per_sec = batch / best
 
-    # MFU from XLA's own FLOP count of the compiled step (VERDICT r1 #9);
-    # donated buffers make the timed chunk un-relowerable, so count on a
-    # fresh non-donating compile of the identical computation
-    flops = step_flops(
-        make_train_chunk(config.replace(donate_state=False), models, n_data),
-        (create_train_state(config, models, jax.random.PRNGKey(0)), dataset, data_key),
-        steps,
-    )
+    # MFU from analytic MXU FLOPs of the step (VERDICT r1 #9)
+    flops = step_flops(config, batch)
     record = {
         "metric": f"images/sec/chip (64x64 histogram-pix2pix train step, batch {batch}, {dtype})",
         "value": round(images_per_sec, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / NORTH_STAR, 4),
+        "flops_per_image": round(flops / batch),
+        "mfu": round(flops / best / V5E_PEAK_FLOPS, 4),
     }
-    if flops is not None:
-        record["flops_per_image"] = round(flops / batch)
-        record["mfu"] = round(flops / best / V5E_PEAK_FLOPS, 4)
     print(json.dumps(record))
 
 

@@ -89,29 +89,18 @@ def measure_variant(
         "images_per_sec": batch / best,
         "images_per_sec_per_chip": batch / best / ndev,
     }
-    # per-variant MFU from XLA's FLOP count of the compiled step (VERDICT r1
-    # #9): substantiates the roofline each variant sits against — the indexed
-    # variant's 256-channel k4s1 head conv alone is ~3.7 TFLOP/step fwd+bwd
-    # at batch 1024, so its throughput ceiling differs from the RGBA variants
-    if ndev == 1:
-        try:
-            fresh_state = create_train_state(config, models, jax.random.PRNGKey(0))
-            cost = (
-                make_train_chunk(
-                    config.replace(donate_state=False), models, n_data
-                )
-                .lower(fresh_state, dataset, key, num_steps=steps)
-                .compile()
-                .cost_analysis()
-            )
-            if isinstance(cost, (list, tuple)):
-                cost = cost[0]
-            flops = float(cost["flops"]) / steps
-            record["flops_per_image"] = round(flops / batch)
-            # TPU v5e public peak: 197 TFLOP/s bf16
-            record["mfu"] = round(flops / best / 197e12, 4)
-        except Exception:
-            pass
+    # per-variant MFU from analytic MXU FLOPs (VERDICT r1 #9): substantiates
+    # the roofline each variant sits against — the indexed variant's
+    # 256-channel k4s1 head conv alone is ~3.7 TFLOP/step fwd+bwd at batch
+    # 1024, so its throughput ceiling differs from the RGBA variants.
+    # (XLA's compiled.cost_analysis() undercounts here: TPU convs lower to
+    # custom calls with no attributed FLOPs — see utils/flops.py.)
+    from palette_and_histo_gan_tpu.utils.flops import train_step_flops_per_image
+
+    flops = train_step_flops_per_image(config)
+    record["flops_per_image"] = round(flops)
+    # TPU v5e public peak: 197 TFLOP/s bf16
+    record["mfu"] = round(flops * batch / best / 197e12, 4)
     return record
 
 

@@ -49,7 +49,14 @@ def capture(variant: str, batch: int, dtype: str, steps: int, log_dir: str):
         )
     chunk = make_train_chunk(config, models, n_data)
     key = jax.random.PRNGKey(1)
-    state, mm = chunk(state, dataset, key, 2)  # compile outside the trace
+    # persist the optimized HLO of the exact traced program so the
+    # aggregator can attribute each fusion to a model component via the
+    # op_name metadata XLA carries (fusion indices change per compile, so
+    # the text MUST come from this process, not a separate dump)
+    compiled = chunk.lower(state, dataset, key, num_steps=steps).compile()
+    with open(os.path.join("/tmp", "trace_ops_hlo.txt"), "w") as f:
+        f.write(compiled.as_text())
+    state, mm = chunk(state, dataset, key, steps)  # warmup (already compiled)
     float(mm["generator/total_loss"][-1])
     jax.profiler.start_trace(log_dir)
     state, mm = chunk(state, dataset, key, steps)
@@ -80,6 +87,7 @@ def aggregate(log_dir: str, top: int, steps: int):
         print("no xplane.pb produced — tunnel backend may not support tracing")
         return
     by_name = collections.Counter()
+    full_line = {}
     total = 0.0
     for path in paths:
         xspace = xplane_pb2.XSpace()
@@ -99,31 +107,78 @@ def aggregate(log_dir: str, top: int, steps: int):
                     if name.startswith(("%while", "jit_", "%jit")):
                         continue
                     dur = ev.duration_ps / 1e12
-                    by_name[name] += dur
+                    key = name.lstrip("%").split(" ")[0]
+                    by_name[key] += dur
+                    full_line[key] = name
                     total += dur
     if not by_name:
         print("no XLA op events found in trace")
         return
-    # bucket by a coarse category from the op name
-    def category(name):
-        n = name.lower()
-        for key in (
-            "convolution", "dot", "fusion", "reduce", "copy", "transpose",
-            "all-reduce", "rng", "scatter", "gather", "convert", "select",
-        ):
-            if key in n:
-                return key
-        return "other"
 
-    by_cat = collections.Counter()
-    for name, dur in by_name.items():
-        by_cat[category(name)] += dur
+    # map op -> source component via HLO op_name metadata from the exact
+    # compiled program (written by capture()); fusions without their own
+    # metadata inherit the dominant op_name of their fused computation body
+    opname = {}
+    hlo_path = "/tmp/trace_ops_hlo.txt"
+    if os.path.exists(hlo_path):
+        import re
+
+        defs = {}
+        comp_meta = collections.defaultdict(collections.Counter)
+        cur = None
+        with open(hlo_path) as f:
+            for line in f:
+                mhead = re.match(r"%([\w.\-]+) \(", line)
+                if mhead:
+                    cur = mhead.group(1)
+                mdef = re.match(r"\s+%([\w.\-]+) = ", line)
+                name = mdef.group(1) if mdef else None
+                om = re.search(r'op_name="([^"]+)"', line)
+                cm = re.search(r"calls=%([\w.\-]+)", line)
+                if name:
+                    defs[name] = (om.group(1) if om else "",
+                                  cm.group(1) if cm else "")
+                elif cur and om:
+                    comp_meta[cur][om.group(1)] += 1
+        for key in by_name:
+            om, call = defs.get(key, ("", ""))
+            if not om and call and comp_meta.get(call):
+                om = comp_meta[call].most_common(1)[0][0]
+            opname[key] = om.replace(
+                "jit(train_chunk)/while/body/closed_call/", ""
+            )
+
+    def component(key):
+        o = opname.get(key, "")
+        n = key.lower()
+        if "rgbuv" in o or "hellinger" in o or "logsumexp" in o:
+            return "hist-loss"
+        if "yj,jkc,xk" in o or "hue" in o or "hsv" in o:
+            return "augment"
+        if "PatchDiscriminator" in o:
+            return "D-bwd+adam" if o.startswith("transpose(") else "D-fwd"
+        if "UnetGenerator" in o:
+            return "G-bwd+adam" if o.startswith("transpose(") else "G-fwd"
+        if o.startswith("transpose("):
+            return "loss-bwd"  # backward of loss-side dots/elementwise
+        if "copy" in n or "bitcast" in n:
+            return "copy/layout"
+        if "gather" in o or "gather" in n:
+            return "batch-gather"
+        return "loss/other" if o else "unattributed"
+
+    by_comp = collections.Counter()
+    for key, dur in by_name.items():
+        by_comp[component(key)] += dur
     print(json.dumps({"total_device_s": round(total, 4), "per_step_ms": round(total / steps * 1e3, 2)}))
-    for cat, dur in by_cat.most_common():
-        print(f"{cat:14s} {dur/steps*1e3:8.2f} ms/step  {dur/total*100:5.1f}%")
+    for comp, dur in by_comp.most_common():
+        print(f"{comp:14s} {dur/steps*1e3:8.2f} ms/step  {dur/total*100:5.1f}%")
     print("--- top ops ---")
-    for name, dur in by_name.most_common(top):
-        print(f"{dur/steps*1e3:8.3f} ms/step  {name[:110]}")
+    for key, dur in by_name.most_common(top):
+        om = opname.get(key, "")
+        shapes = full_line.get(key, "")
+        mshape = shapes.split(" = ", 1)[1][:60] if " = " in shapes else ""
+        print(f"{dur/steps*1e3:8.3f} ms/step  {key[:38]:38s} {om[:70]:70s} {mshape}")
 
 
 def main():

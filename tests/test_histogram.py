@@ -96,3 +96,41 @@ def test_histogram_jit_compiles():
     fn = jax.jit(hist_ops.calculate_rgbuv_histogram)
     h = fn(batch)
     assert h.shape == (2, 64, 64, 3)
+
+
+@pytest.mark.parametrize("method", ["inverse-quadratic", "RBF"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_vjp_matches_autodiff(method, dtype):
+    """The hand-structured backward of _histogram_core (one reduce consumer
+    per cotangent dot, so XLA can output-fuse instead of materializing the
+    (B, HW, size) intermediates) must equal plain autodiff of the same
+    forward. Forward values are the identical code path; gradients agree to
+    reduction-order rounding."""
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
+
+    def loss(x, fused):
+        h = hist_ops.calculate_rgbuv_histogram(
+            x, size=16, method=method, dtype=dtype, fused_vjp=fused
+        )
+        ht = hist_ops.calculate_rgbuv_histogram(
+            tgt, size=16, method=method, dtype=dtype, fused_vjp=fused
+        )
+        return hist_ops.hellinger_loss(ht, h)
+
+    assert float(loss(img, True)) == float(loss(img, False))
+    g_fused = jax.grad(lambda x: loss(x, True))(img)
+    g_auto = jax.grad(lambda x: loss(x, False))(img)
+    # RBF saturates exp(-d^2/sigma^2) to exactly 0 for most bins; identical
+    # zero-histogram cells then hit sqrt'(0) = inf in the Hellinger loss in
+    # BOTH paths (reference behavior) — compare where finite
+    finite = jnp.isfinite(g_auto) & jnp.isfinite(g_fused)
+    assert bool(jnp.all(jnp.isfinite(g_auto) == jnp.isfinite(g_fused)))
+    ga = jnp.where(finite, g_auto, 0.0)
+    gf = jnp.where(finite, g_fused, 0.0)
+    scale = float(jnp.abs(ga).max())
+    tol = 1e-5 if dtype == jnp.float32 else 5e-2
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(ga), atol=tol * scale)
+    # alpha never contributes
+    assert float(jnp.abs(g_fused[..., 3]).max()) == 0.0
