@@ -122,8 +122,13 @@ class Config:
     histogram_size: int = 64
     histogram_method: str = "inverse-quadratic"
     histogram_sigma: float = 0.02
-    # fused Pallas histogram kernel (TPU) vs plain-XLA implementation
-    use_pallas_histogram: bool = False
+    # fused-VJP dot structure for the histogram backward: "tri" (one dot per
+    # gradient chain) or "dual" (shared DKV dot) — ops/histogram.py
+    histogram_bwd: str = "tri"
+    # histogram implementation: "xla" (ops/histogram.py, fused VJP),
+    # "pallas" (v1 kernel, f32 (HW, size) layout), or "pallas2" (v2 kernel,
+    # bf16 (size, HW) lane-full layout) — device-clock A/B picks the default
+    histogram_impl: str = "xla"
 
     # network widths (reference: networks.py:57-73); overridable so tests and
     # dry runs can construct the *real* Trainer with narrow, fast-compiling

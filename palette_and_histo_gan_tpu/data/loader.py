@@ -103,20 +103,23 @@ def load_concat_split(config: Config, split: str, direction: int) -> np.ndarray:
 
 
 def prepare_rgba(images_u8: np.ndarray) -> np.ndarray:
-    """uint8 -> float32 [0, 255] with transparent pixels blackened.
+    """uint8 -> uint8 [0, 255] with transparent pixels blackened.
 
     Blackening (dataset_utils.py:11-20) is deterministic, so it is applied
-    once at load rather than per epoch. Normalization to [-1, 1] happens
-    on device inside the step (after augmentation, matching the reference
-    pipeline order at dataset_utils.py:213-222).
+    once at load rather than per epoch. The split stays uint8 on device —
+    every value is an exact 8-bit integer, so storing float32 would 4x the
+    HBM residency and the per-step batch-gather traffic for nothing; the
+    train step upcasts the gathered batch (fused into its first consumer).
+    Normalization to [-1, 1] happens on device inside the step (after
+    augmentation, matching the reference pipeline order at
+    dataset_utils.py:213-222).
     """
-    images = images_u8.astype(np.float32)
-    mask = images[..., 3:4] == 0
-    return np.where(mask, 0.0, images)
+    mask = images_u8[..., 3:4] == 0
+    return np.where(mask, np.uint8(0), images_u8)
 
 
 class RgbaDataset(NamedTuple):
-    """A split resident on device: float32 [0, 255], blackened."""
+    """A split resident on device: uint8 [0, 255], blackened."""
 
     sources: jnp.ndarray  # (N, 64, 64, 4)
     targets: jnp.ndarray  # (N, 64, 64, 4)

@@ -43,16 +43,18 @@ class PaddedOutConv(nn.Module):
     """Conv k4 s1 SAME with bias whose output channels are zero-padded to a
     TPU-friendly lane count for the convolution itself, then sliced back.
 
-    The generator head (36 -> 4, networks.py:95-97) and the discriminator
-    patch head (64 -> 1, networks.py:48-49) have output-channel counts far
-    below the 8-row register tile, which forces XLA into degenerate
-    T(4,128)/T(1,128) layouts: on v5e the head's weight-gradient conv alone
-    measured 1.79 ms/step and the forward 0.96 ms at batch 1024 — >10x their
-    FLOP cost. Computing the conv at `pad_to` channels (weights zero-padded,
-    real channels sliced back out) is bit-exact for the kept channels —
-    padded weights are zeros that never mix into real outputs, and the
-    parameter gradient is the exact slice of the padded gradient — while the
-    parameter tree keeps the reference's (kh, kw, cin, features) shapes.
+    MEASURED-NEGATIVE ALTERNATIVE, kept unused for the record. Motivation:
+    the generator head (36 -> 4, networks.py:95-97) and discriminator patch
+    head (64 -> 1, networks.py:48-49) weight-grad convs run degenerate
+    T(4,128)/T(1,128) emitters at >10x their FLOP cost (1.79 ms/step for a
+    9 KB gradient at batch 1024). This module computes the conv at `pad_to`
+    channels — bit-exact for the kept channels (zero weights never mix in;
+    the parameter gradient is the exact slice of the padded one; verified on
+    CPU to 0.0 diff), with the reference's param shapes. Two optimization
+    barriers are required or XLA's algebraic simplifier strips the padding
+    right back out. A/B on v5e: 11% SLOWER end to end — the barriers block
+    fusion across the head boundary, costing more than the bad emitter saves.
+    The models use plain narrow nn.Conv heads.
     """
 
     features: int
@@ -262,21 +264,20 @@ class UnetGenerator(nn.Module):
             )(x, deterministic=deterministic)
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
 
-        if self.output_channels < 8:
-            # lane-padded head (see PaddedOutConv); name pinned so the param
-            # tree matches the plain nn.Conv layout
-            x = PaddedOutConv(
-                self.output_channels, dtype=self.dtype, name="Conv_0"
-            )(x)
-        else:
-            x = nn.Conv(
-                self.output_channels,
-                kernel_size=(4, 4),
-                padding="SAME",
-                use_bias=True,
-                kernel_init=conv_init,
-                dtype=self.dtype,
-            )(x)
+        # NOTE: the narrow (36 -> 4) head's weight-grad conv runs a degenerate
+        # T(4,128) emitter (~1.8 ms/step at batch 1024). Lane-padding it to 8
+        # channels via PaddedOutConv was A/B-tested on v5e and measured 11%
+        # SLOWER end to end: the optimization barriers that keep XLA's
+        # simplifier from stripping the zero pad also block fusion across the
+        # head boundary, which costs more than the bad emitter. Kept narrow.
+        x = nn.Conv(
+            self.output_channels,
+            kernel_size=(4, 4),
+            padding="SAME",
+            use_bias=True,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+        )(x)
         if self.last_activation == "linear":
             # raw logits stay in the compute dtype: an f32 upcast here adds
             # no information (consumers upcast pointwise before reducing —
@@ -307,9 +308,16 @@ class PatchDiscriminator(nn.Module):
             [target.astype(self.dtype), source.astype(self.dtype)], axis=-1
         )
         x = DownBlock(64, apply_norm=False, dtype=self.dtype)(x)
-        # 64 -> 1 patch head runs lane-padded (see PaddedOutConv): the
-        # 1-channel conv's T(1,128) weight-grad emitter measured ~1.7 ms/step
-        x = PaddedOutConv(1, dtype=self.dtype, name="Conv_0")(x)
+        # narrow 64 -> 1 head kept deliberately: see the UnetGenerator head
+        # note — lane-padding behind barriers A/B-measured slower end to end
+        x = nn.Conv(
+            1,
+            kernel_size=(4, 4),
+            padding="SAME",
+            use_bias=True,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+        )(x)
         return x.astype(jnp.float32)
 
 

@@ -188,6 +188,67 @@ def _histogram_core_bwd(size, method, sigma, dtype, flat01, g):
 _histogram_core.defvjp(_histogram_core_fwd, _histogram_core_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _histogram_core_dual(flat01, size, method, sigma, dtype):
+    """Two-dot backward variant of _histogram_core (A/B alternative).
+
+    Drops the Ku@G dot: since DKV = (iy Ku)@G, the iy chain is recoverable as
+      dL/d iy[p] = (sum_j DKV[p,j] Kv[p,j]) / iy[p]
+    (iy >= sqrt(eps) > 0 always). DKV then feeds TWO reduces (iy and iv
+    chains) — one fewer 537 MB dot write per channel in exchange for a
+    double consumer XLA may or may not multi-output-fuse. Selected by
+    `calculate_rgbuv_histogram(..., bwd="dual")`; device-clock A/B decides
+    the default."""
+    return _unnormalized_histograms(flat01, size, method, sigma, dtype)
+
+
+def _histogram_core_dual_bwd(size, method, sigma, dtype, flat01, g):
+    epsilon = EPSILON
+    sigma_sqr = sigma**2
+    domain = jnp.linspace(-3.0, 3.0, num=size)[None, :].astype(dtype)
+    iy32 = jnp.sqrt(jnp.sum(jnp.square(flat01), axis=-1) + epsilon)  # (B, HW)
+    iy = iy32[..., None].astype(dtype)
+    logs = jnp.log(flat01 + epsilon)
+    comps = (logs[..., 0], logs[..., 1], logs[..., 2])
+    g = g.astype(dtype)
+
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    mm = partial(jnp.einsum, precision=precision)
+
+    d_log = [None, None, None]
+    d_iy = None
+
+    def acc(a, b):
+        return b if a is None else a + b
+
+    for ch, (c, p1, p2) in enumerate(_CHANNEL_TRIPLES):
+        iu = comps[c] - comps[p1]
+        iv = comps[c] - comps[p2]
+        ku, su = _kernel_and_slope(iu, domain, method, sigma_sqr, dtype)
+        kv, sv = _kernel_and_slope(iv, domain, method, sigma_sqr, dtype)
+        gc = g[..., ch]
+        da = mm("bpj,bij->bpi", kv, gc)  # iu chain
+        dkv = mm("bpi,bij->bpj", iy * ku, gc)  # iy + iv chains
+        s_yk = jnp.sum(dkv * kv, axis=-1).astype(jnp.float32)  # = iy * s_y
+        s_u = jnp.sum(da * su, axis=-1).astype(jnp.float32)
+        s_v = jnp.sum(dkv * sv, axis=-1).astype(jnp.float32)
+        d_iu = iy32 * s_u
+        d_iv = s_v
+        d_iy = acc(d_iy, s_yk / iy32)
+        d_log[c] = acc(d_log[c], d_iu + d_iv)
+        d_log[p1] = acc(d_log[p1], -d_iu)
+        d_log[p2] = acc(d_log[p2], -d_iv)
+
+    d_flat = (
+        jnp.stack(d_log, axis=-1) / (flat01 + epsilon)
+        + (d_iy / iy32)[..., None] * flat01
+    )
+    return (d_flat,)
+
+
+_histogram_core_dual.defvjp(_histogram_core_fwd, _histogram_core_dual_bwd)
+
+
 def calculate_rgbuv_histogram(
     image_batch: jnp.ndarray,
     size: int = 64,
@@ -195,6 +256,7 @@ def calculate_rgbuv_histogram(
     sigma: float = 0.02,
     dtype=jnp.float32,
     fused_vjp: bool = True,
+    bwd: str = "tri",
 ) -> jnp.ndarray:
     """Differentiable color histogram of a [-1, 1] NHWC batch.
 
@@ -204,7 +266,9 @@ def calculate_rgbuv_histogram(
     bfloat16 for throughput (see _component_histogram). `fused_vjp` uses the
     hand-structured backward of `_histogram_core` (forward values are
     IDENTICAL — same code path; only the gradient structure differs);
-    False falls back to plain autodiff, kept for parity tests.
+    False falls back to plain autodiff, kept for parity tests. `bwd`
+    selects the fused backward's dot structure: "tri" (one dot per chain)
+    or "dual" (shared DKV dot, see _histogram_core_dual).
     """
     image_batch = image_batch * 0.5 + 0.5  # [-1,1] -> [0,1]
     image_batch = image_batch[..., :3]  # drop alpha
@@ -212,7 +276,8 @@ def calculate_rgbuv_histogram(
     flat = jnp.reshape(image_batch, (b, -1, 3))  # (B, HW, 3)
 
     if fused_vjp:
-        histograms = _histogram_core(flat, size, method, sigma, jnp.dtype(dtype))
+        core = _histogram_core_dual if bwd == "dual" else _histogram_core
+        histograms = core(flat, size, method, sigma, jnp.dtype(dtype))
     else:
         histograms = _unnormalized_histograms(flat, size, method, sigma, dtype)
 

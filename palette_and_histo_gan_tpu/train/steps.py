@@ -93,8 +93,13 @@ def _optimizer_updates(models: Models, state: TrainState, g_grads, d_grads, rng)
 def rgba_train_step(
     config: Config, models: Models, state: TrainState, source, target
 ):
-    """One optimization step on a raw [0, 255] float32 RGBA batch."""
+    """One optimization step on a raw [0, 255] RGBA batch (uint8 or float)."""
     rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+
+    # the HBM-resident dataset is uint8 (data/loader.py::prepare_rgba); the
+    # upcast fuses into the gather's consumer
+    source = source.astype(jnp.float32)
+    target = target.astype(jnp.float32)
 
     if config.uses_augmentation:
         source, target = augment_ops.augment_batch(
@@ -104,13 +109,17 @@ def rgba_train_step(
     target = normalize(target)
 
     use_hist = config.model == "histogram"
-    if config.use_pallas_histogram:
+    if config.histogram_impl == "pallas":
         from ..ops.histogram_pallas import calculate_rgbuv_histogram_pallas
 
         def hist_fn(batch, **kw):
-            kw.pop("dtype", None)  # the Pallas kernel computes in float32
+            kw.pop("dtype", None)  # the v1 Pallas kernel computes in float32
             return calculate_rgbuv_histogram_pallas(batch, **kw)
 
+    elif config.histogram_impl == "pallas2":
+        from ..ops.histogram_pallas2 import calculate_rgbuv_histogram_pallas2
+
+        hist_fn = calculate_rgbuv_histogram_pallas2
     else:
         hist_fn = hist_ops.calculate_rgbuv_histogram
 
@@ -135,6 +144,8 @@ def rgba_train_step(
                 sigma=config.histogram_sigma,
                 dtype=hist_dtype,
             )
+            if config.histogram_impl == "xla":
+                kwargs["bwd"] = config.histogram_bwd
             real_hist = hist_fn(target, **kwargs)
             fake_hist = hist_fn(fake, **kwargs)
             h_loss = hist_ops.hellinger_loss(real_hist, fake_hist)

@@ -1,0 +1,99 @@
+"""A/B the histogram implementations on hardware.
+
+Times, at batch 1024 bf16 (the train-step operating point):
+  - XLA fwd (ops/histogram.py)
+  - XLA fwd+bwd through the fused VJP
+  - Pallas v1 fwd (histogram_pallas.py, f32 (HW, size) layout)
+  - Pallas v2 fwd (histogram_pallas2.py, bf16 (size, HW) layout)
+plus value parity of each against the XLA f32 path.
+
+Usage: python scripts/bench_hist_impls.py [--batch 1024]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def marginal_time(fn, args, n_long=24, n_short=6, repeats=3):
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        float(jnp.asarray(leaf).reshape(-1)[0])
+        return time.perf_counter() - t0
+
+    run(2)
+    best = float("inf")
+    for _ in range(repeats):
+        t_s = run(n_short)
+        t_l = run(n_long)
+        m = (t_l - t_s) / (n_long - n_short)
+        if 0 < m < best:
+            best = m
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1024)
+    args = p.parse_args()
+
+    from palette_and_histo_gan_tpu.ops import histogram as H
+    from palette_and_histo_gan_tpu.ops.histogram_pallas import (
+        calculate_rgbuv_histogram_pallas,
+    )
+    from palette_and_histo_gan_tpu.ops.histogram_pallas2 import (
+        calculate_rgbuv_histogram_pallas2,
+    )
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.uniform(-1, 1, (args.batch, 64, 64, 4)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(-1, 1, (args.batch, 64, 64, 4)), jnp.float32)
+
+    xla_bf16 = jax.jit(lambda x: H.calculate_rgbuv_histogram(x, dtype=jnp.bfloat16))
+    xla_f32 = jax.jit(lambda x: H.calculate_rgbuv_histogram(x, dtype=jnp.float32))
+    v1 = jax.jit(calculate_rgbuv_histogram_pallas)
+    v2 = jax.jit(calculate_rgbuv_histogram_pallas2)
+
+    def loss_fn(x):
+        h = H.calculate_rgbuv_histogram(x, dtype=jnp.bfloat16)
+        ht = H.calculate_rgbuv_histogram(tgt, dtype=jnp.bfloat16)
+        return H.hellinger_loss(ht, h)
+
+    grad_bf16 = jax.jit(jax.grad(loss_fn))
+
+    ref = np.asarray(xla_f32(img))
+    out = {}
+    for name, fn in [
+        ("xla_fwd_bf16", xla_bf16),
+        ("pallas_v1_fwd", v1),
+        ("pallas_v2_fwd", v2),
+    ]:
+        try:
+            got = np.asarray(fn(img))
+            err = float(np.abs(got - ref).max() / np.abs(ref).max())
+            ms = marginal_time(fn, (img,)) * 1e3
+            out[name] = {"ms": round(ms, 3), "max_rel_err": round(err, 5)}
+        except Exception as e:
+            out[name] = {"error": str(e)[:160]}
+    try:
+        out["xla_fwd_bwd_bf16"] = {"ms": round(marginal_time(grad_bf16, (img,)) * 1e3, 3)}
+    except Exception as e:
+        out["xla_fwd_bwd_bf16"] = {"error": str(e)[:160]}
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

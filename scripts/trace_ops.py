@@ -25,13 +25,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def capture(variant: str, batch: int, dtype: str, steps: int, log_dir: str):
+def capture(
+    variant: str, batch: int, dtype: str, steps: int, log_dir: str,
+    donate: bool = False,
+    overrides: dict | None = None,
+):
     from palette_and_histo_gan_tpu.config import config_for_variant
     from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
     from palette_and_histo_gan_tpu.train.steps import make_train_chunk
 
     config = config_for_variant(
-        variant, compute_dtype=dtype, batch_size=batch, donate_state=False
+        variant, compute_dtype=dtype, batch_size=batch, donate_state=donate,
+        **(overrides or {}),
     )
     models = build_models(config)
     state = create_train_state(config, models, jax.random.PRNGKey(0))
@@ -190,10 +195,34 @@ def main():
     p.add_argument("--top", type=int, default=30)
     p.add_argument("--log-dir", default="/tmp/phg_trace")
     p.add_argument("--aggregate-only", action="store_true")
+    p.add_argument(
+        "--override", action="append", default=[], metavar="KEY=VALUE",
+        help="Config override for device-clock A/Bs (literal-eval'd, "
+        "string fallback), e.g. --override transpose_impl=subpixel",
+    )
+    p.add_argument(
+        "--donate", action="store_true",
+        help="donate the train state (the bench.py configuration); the "
+        "device-side per_step_ms this script prints is the trustworthy "
+        "throughput number — host-side marginal timing through the tunnel "
+        "has shown +-25%% episodes (ab9 vs ab11 vs bench on one tree)",
+    )
     args = p.parse_args()
     if not args.aggregate_only:
         os.system(f"rm -rf {args.log_dir}")
-        capture(args.variant, args.batch, args.dtype, args.steps, args.log_dir)
+        import ast
+
+        overrides = {}
+        for item in args.override:
+            key, _, value = item.partition("=")
+            try:
+                overrides[key] = ast.literal_eval(value)
+            except (ValueError, SyntaxError):
+                overrides[key] = value
+        capture(
+            args.variant, args.batch, args.dtype, args.steps, args.log_dir,
+            donate=args.donate, overrides=overrides,
+        )
     aggregate(args.log_dir, args.top, args.steps)
 
 

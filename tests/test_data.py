@@ -28,8 +28,10 @@ def test_prepare_rgba_blackens():
     prepped = loader.prepare_rgba(arr)
     transparent = prepped[..., 3] == 0
     assert np.all(prepped[transparent] == 0)
-    assert prepped.dtype == np.float32
-    assert prepped.max() <= 255.0
+    # stays uint8 on host/device (4x less HBM than f32); the train step
+    # upcasts after the batch gather (data/loader.py::prepare_rgba)
+    assert prepped.dtype == np.uint8
+    assert prepped.max() <= 255
 
 
 @needs_data

@@ -74,3 +74,50 @@ def test_hellinger_value_against_reference_impl():
     np.testing.assert_allclose(
         hist_ref.hellinger_loss(ha, hb), hist_ref.hellinger_loss(ra, rb), rtol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# v2 kernel (histogram_pallas2: lane-full (size, HW) layout, bf16 chain)
+# ---------------------------------------------------------------------------
+
+from palette_and_histo_gan_tpu.ops import histogram_pallas2 as hist_pl2
+
+
+@pytest.mark.parametrize("method", ["inverse-quadratic", "RBF"])
+def test_v2_forward_parity(method):
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
+    ours = hist_pl2.calculate_rgbuv_histogram_pallas2(
+        batch, size=16, method=method, dtype=jnp.float32
+    )
+    ref = hist_ref.calculate_rgbuv_histogram(batch, size=16, method=method)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("method", ["inverse-quadratic"])
+def test_v2_gradient_parity(method):
+    rng = np.random.default_rng(2)
+    batch = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 8, 8, 4)), jnp.float32)
+    target = jnp.asarray(rng.uniform(-0.9, 0.9, (1, 8, 8, 4)), jnp.float32)
+
+    def loss_pl(x):
+        h = hist_pl2.calculate_rgbuv_histogram_pallas2(
+            x, size=16, method=method, dtype=jnp.float32
+        )
+        t = hist_pl2.calculate_rgbuv_histogram_pallas2(
+            target, size=16, method=method, dtype=jnp.float32
+        )
+        return hist_ref.hellinger_loss(t, h)
+
+    def loss_ref(x):
+        h = hist_ref.calculate_rgbuv_histogram(x, size=16, method=method)
+        t = hist_ref.calculate_rgbuv_histogram(target, size=16, method=method)
+        return hist_ref.hellinger_loss(t, h)
+
+    g_pl = jax.grad(loss_pl)(batch)
+    g_ref = jax.grad(loss_ref)(batch)
+    scale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_ref), atol=3e-4 * scale
+    )
+    assert float(jnp.abs(g_pl[..., 3]).max()) == 0.0  # alpha never contributes
