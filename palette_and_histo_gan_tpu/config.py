@@ -125,6 +125,12 @@ class Config:
     # fused-VJP dot structure for the histogram backward: "tri" (one dot per
     # gradient chain) or "dual" (shared DKV dot) — ops/histogram.py
     histogram_bwd: str = "tri"
+    # narrow conv heads: "narrow" (plain nn.Conv) or "dup8" (channel
+    # duplication, models/networks.py::DupOutConv) — device-clock A/B
+    head_conv: str = "narrow"
+    # discriminator first conv: split-concat form (networks.py::
+    # _SplitConcatConv) that lets XLA CSE the shared source-half conv
+    d_input_split: bool = False
     # histogram implementation: "xla" (ops/histogram.py, fused VJP),
     # "pallas" (v1 kernel, f32 (HW, size) layout), or "pallas2" (v2 kernel,
     # bf16 (size, HW) lane-full layout) — device-clock A/B picks the default

@@ -94,6 +94,56 @@ class PaddedOutConv(nn.Module):
         return y[..., : self.features] + bias.astype(y.dtype)
 
 
+class DupOutConv(nn.Module):
+    """Conv k4 s1 SAME whose output channels are DUPLICATED to a TPU-friendly
+    lane count for the convolution, then averaged back.
+
+    Second attack on the narrow-head emitter problem (see PaddedOutConv):
+    the 36 -> 4 generator head and 64 -> 1 discriminator head weight-grad
+    convs run degenerate T(4,128)/T(1,128) layouts at >10x their FLOP cost.
+    Zero-padding the output channels needs optimization barriers (XLA's
+    simplifier strips the pad) and the barriers block fusion — 11% slower.
+    Duplicating instead gives the simplifier nothing to strip: the kernel is
+    concatenated with itself to `dup_to` channels (all replicas live — no
+    dead code, no barriers) and the replicas are averaged back. Exact:
+    every replica of an output channel is computed by the same conv op from
+    identical weights, and the f32 replica-sum of k identical values divided
+    by a power-of-two k reproduces the value; the parameter gradient is the
+    sum of k identical replica cotangents of dy/k. Parameter tree keeps the
+    reference's (4, 4, cin, features) kernel + (features,) bias shapes.
+    """
+
+    features: int
+    dup_to: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", conv_init, (4, 4, cin, self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        k = max(self.dup_to // self.features, 1)
+        kd = jnp.concatenate([kernel] * k, axis=-1).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kd,
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        b, h, w, _ = y.shape
+        # channel order after concat is [f_0..f_{F-1}] * k -> (k, F) groups
+        y = y.reshape(b, h, w, k, self.features)
+        y = (jnp.sum(y.astype(jnp.float32), axis=3) * (1.0 / k)).astype(
+            self.dtype
+        )
+        return y + bias.astype(y.dtype)
+
+
 class InstanceNorm(nn.Module):
     """Per-(sample, channel) normalization over spatial dims, with learned
     scale and offset (tfa InstanceNormalization semantics)."""
@@ -150,6 +200,56 @@ class DownBlock(nn.Module):
         )(x)
         if self.apply_norm:
             x = InstanceNorm()(x)
+        return nn.leaky_relu(x, negative_slope=LEAKY_RELU_SLOPE)
+
+
+class _SplitConcatConv(nn.Module):
+    """k4 s2 SAME no-bias conv over an implicit concat([target, source]),
+    computed as two half-kernel convs summed.
+
+    conv(concat([t, s]), W) == conv(t, W[:, :, :Ct]) + conv(s, W[:, :, Ct:])
+    exactly (channel contraction is a sum); splitting (a) removes the
+    (B, 64, 64, 2C) concat copy and (b) makes the source-half conv an
+    identical subexpression in all three D invocations of a train step
+    (D(real, src), D(fake, src) twice) so XLA CSE computes it once. The
+    parameter keeps the reference (4, 4, Ct+Cs, F) shape.
+    """
+
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+        ct, cs = target.shape[-1], source.shape[-1]
+        kernel = self.param(
+            "kernel", conv_init, (4, 4, ct + cs, self.filters), jnp.float32
+        )
+
+        def half(v, k):
+            return jax.lax.conv_general_dilated(
+                v.astype(self.dtype),
+                k.astype(self.dtype),
+                window_strides=(2, 2),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        return half(target, kernel[:, :, :ct, :]) + half(
+            source, kernel[:, :, ct:, :]
+        )
+
+
+class SplitInputDownBlock(nn.Module):
+    """DownBlock(no-norm) over an implicit concat — see _SplitConcatConv."""
+
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
+        x = _SplitConcatConv(self.filters, dtype=self.dtype, name="Conv_0")(
+            target, source
+        )
         return nn.leaky_relu(x, negative_slope=LEAKY_RELU_SLOPE)
 
 
@@ -242,6 +342,7 @@ class UnetGenerator(nn.Module):
     down_filters: Sequence[int] = (64, 128, 256, 512, 512, 512)
     up_filters: Sequence[int] = (512, 512, 256, 128, 64, 32)
     transpose_impl: str = "subpixel"  # "subpixel" (MXU-dense) | "lax"
+    head_conv: str = "narrow"  # "narrow" (plain nn.Conv) | "dup8" (DupOutConv)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
@@ -265,19 +366,22 @@ class UnetGenerator(nn.Module):
             x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
 
         # NOTE: the narrow (36 -> 4) head's weight-grad conv runs a degenerate
-        # T(4,128) emitter (~1.8 ms/step at batch 1024). Lane-padding it to 8
-        # channels via PaddedOutConv was A/B-tested on v5e and measured 11%
-        # SLOWER end to end: the optimization barriers that keep XLA's
-        # simplifier from stripping the zero pad also block fusion across the
-        # head boundary, which costs more than the bad emitter. Kept narrow.
-        x = nn.Conv(
-            self.output_channels,
-            kernel_size=(4, 4),
-            padding="SAME",
-            use_bias=True,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-        )(x)
+        # T(4,128) emitter (~1.8 ms/step at batch 1024). Lane-padding behind
+        # barriers (PaddedOutConv) measured 11% slower; channel DUPLICATION
+        # (DupOutConv, no barriers) is the head_conv="dup8" alternative.
+        if self.head_conv == "dup8" and self.output_channels < 8:
+            x = DupOutConv(
+                self.output_channels, dtype=self.dtype, name="Conv_0"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.output_channels,
+                kernel_size=(4, 4),
+                padding="SAME",
+                use_bias=True,
+                kernel_init=conv_init,
+                dtype=self.dtype,
+            )(x)
         if self.last_activation == "linear":
             # raw logits stay in the compute dtype: an f32 upcast here adds
             # no information (consumers upcast pointwise before reducing —
@@ -300,24 +404,35 @@ class PatchDiscriminator(nn.Module):
 
     input_channels: int = 4
     dtype: Any = jnp.float32
+    head_conv: str = "narrow"  # "narrow" | "dup8" (see UnetGenerator head note)
+    input_split: bool = False  # split-concat first conv (see _SplitConcatConv)
 
     @nn.compact
     def __call__(self, target: jnp.ndarray, source: jnp.ndarray) -> jnp.ndarray:
-        # concat order is [target, source] (networks.py:45)
-        x = jnp.concatenate(
-            [target.astype(self.dtype), source.astype(self.dtype)], axis=-1
-        )
-        x = DownBlock(64, apply_norm=False, dtype=self.dtype)(x)
-        # narrow 64 -> 1 head kept deliberately: see the UnetGenerator head
-        # note — lane-padding behind barriers A/B-measured slower end to end
-        x = nn.Conv(
-            1,
-            kernel_size=(4, 4),
-            padding="SAME",
-            use_bias=True,
-            kernel_init=conv_init,
-            dtype=self.dtype,
-        )(x)
+        if self.input_split:
+            # implicit concat([target, source]) via half-kernel convs; the
+            # channel order matches networks.py:45 ([target, source])
+            x = SplitInputDownBlock(64, dtype=self.dtype, name="DownBlock_0")(
+                target, source
+            )
+        else:
+            # concat order is [target, source] (networks.py:45)
+            x = jnp.concatenate(
+                [target.astype(self.dtype), source.astype(self.dtype)], axis=-1
+            )
+            x = DownBlock(64, apply_norm=False, dtype=self.dtype)(x)
+        # narrow 64 -> 1 head by default: see the UnetGenerator head note
+        if self.head_conv == "dup8":
+            x = DupOutConv(1, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                1,
+                kernel_size=(4, 4),
+                padding="SAME",
+                use_bias=True,
+                kernel_init=conv_init,
+                dtype=self.dtype,
+            )(x)
         return x.astype(jnp.float32)
 
 
@@ -331,6 +446,7 @@ def build_generator(config) -> UnetGenerator:
         down_filters=tuple(getattr(config, "down_filters", (64, 128, 256, 512, 512, 512))),
         up_filters=tuple(getattr(config, "up_filters", (512, 512, 256, 128, 64, 32))),
         transpose_impl=getattr(config, "transpose_impl", "subpixel"),
+        head_conv=getattr(config, "head_conv", "narrow"),
     )
 
 
@@ -339,4 +455,6 @@ def build_discriminator(config) -> PatchDiscriminator:
     return PatchDiscriminator(
         input_channels=config.discriminator_in_channels,
         dtype=jnp.dtype(config.compute_dtype),
+        head_conv=getattr(config, "head_conv", "narrow"),
+        input_split=getattr(config, "d_input_split", False),
     )

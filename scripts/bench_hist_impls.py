@@ -88,10 +88,35 @@ def main():
             out[name] = {"ms": round(ms, 3), "max_rel_err": round(err, 5)}
         except Exception as e:
             out[name] = {"error": str(e)[:160]}
-    try:
-        out["xla_fwd_bwd_bf16"] = {"ms": round(marginal_time(grad_bf16, (img,)) * 1e3, 3)}
-    except Exception as e:
-        out["xla_fwd_bwd_bf16"] = {"error": str(e)[:160]}
+    def loss_v2(x):
+        h = calculate_rgbuv_histogram_pallas2(x, dtype=jnp.bfloat16)
+        ht = calculate_rgbuv_histogram_pallas2(tgt, dtype=jnp.bfloat16)
+        return H.hellinger_loss(ht, h)
+
+    grad_v2 = jax.jit(jax.grad(loss_v2))
+
+    def loss_dual(x):
+        h = H.calculate_rgbuv_histogram(x, dtype=jnp.bfloat16, bwd="dual")
+        ht = H.calculate_rgbuv_histogram(tgt, dtype=jnp.bfloat16, bwd="dual")
+        return H.hellinger_loss(ht, h)
+
+    grad_dual = jax.jit(jax.grad(loss_dual))
+
+    ref_g = None
+    for name, fn in [
+        ("xla_fwd_bwd_bf16", grad_bf16),
+        ("xla_fwd_bwd_bf16_dual", grad_dual),
+        ("pallas_v2_fwd_bwd", grad_v2),
+    ]:
+        try:
+            got = np.asarray(fn(img))
+            if ref_g is None:
+                ref_g = got
+            gerr = float(np.abs(got - ref_g).max() / (np.abs(ref_g).max() + 1e-12))
+            ms = marginal_time(fn, (img,)) * 1e3
+            out[name] = {"ms": round(ms, 3), "max_rel_err_vs_first": round(gerr, 5)}
+        except Exception as e:
+            out[name] = {"error": str(e)[:160]}
     print(json.dumps(out, indent=1))
 
 

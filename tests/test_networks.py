@@ -110,3 +110,53 @@ def test_generator_bfloat16_compute():
     assert y.dtype == jnp.float32  # head casts back
     # params stay float32
     assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(variables["params"]))
+
+
+def test_dup_out_conv_matches_plain_conv():
+    """DupOutConv (head_conv="dup8") is numerically equivalent to nn.Conv on
+    the same param tree — G head (k=2 replicas) exact, D head (k=8) to float
+    noise (models/networks.py::DupOutConv)."""
+    import flax.linen as nn
+
+    from palette_and_histo_gan_tpu.models.networks import DupOutConv, conv_init
+
+    rng = np.random.default_rng(0)
+    for cin, feats in [(36, 4), (64, 1)]:
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, cin)), jnp.float32)
+        plain = nn.Conv(
+            feats, kernel_size=(4, 4), padding="SAME", use_bias=True,
+            kernel_init=conv_init,
+        )
+        dup = DupOutConv(feats)
+        params = plain.init(jax.random.PRNGKey(1), x)
+        assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+            jnp.shape, dup.init(jax.random.PRNGKey(2), x)
+        )
+        y1, y2 = plain.apply(params, x), dup.apply(params, x)
+        np.testing.assert_allclose(y1, y2, atol=1e-5)
+        g1 = jax.grad(lambda p: jnp.sum(jnp.sin(plain.apply(p, x))))(params)
+        g2 = jax.grad(lambda p: jnp.sum(jnp.sin(dup.apply(p, x))))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_discriminator_input_split_matches_concat():
+    """input_split=True (implicit-concat half-kernel convs) equals the
+    concat form on the same params, values and gradients
+    (models/networks.py::_SplitConcatConv)."""
+    rng = np.random.default_rng(3)
+    t = jnp.asarray(rng.normal(size=(2, 16, 16, 4)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(2, 16, 16, 4)), jnp.float32)
+    base = PatchDiscriminator()
+    split = PatchDiscriminator(input_split=True)
+    params = base.init(jax.random.PRNGKey(0), t, s)
+    assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+        jnp.shape, split.init(jax.random.PRNGKey(1), t, s)
+    )
+    np.testing.assert_allclose(
+        base.apply(params, t, s), split.apply(params, t, s), atol=1e-5
+    )
+    g1 = jax.grad(lambda p: jnp.sum(jnp.sin(base.apply(p, t, s))))(params)
+    g2 = jax.grad(lambda p: jnp.sum(jnp.sin(split.apply(p, t, s))))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(a, b, atol=1e-4)
