@@ -125,6 +125,14 @@ class Config:
     # fused-VJP dot structure for the histogram backward: "tri" (one dot per
     # gradient chain) or "dual" (shared DKV dot) — ops/histogram.py
     histogram_bwd: str = "tri"
+    # XLA compiler options for the train step/chunk jits, applied on TPU
+    # only (the CPU XLA rejects TPU-only option names). The scoped-VMEM
+    # limit was laddered on v5e (docs/DESIGN.md; default ~16 MiB -> 55.8
+    # ms/step, 24 M -> 53.5, 32 M -> 52.7, 40 M -> 52.5 (best), 48 M ->
+    # 52.6, 64 M -> 52.9, 96 M -> 54.0, 128 M -> 55.4): a 40 MiB scoped
+    # window lets the compiler keep conv/fusion operands VMEM-resident
+    # without starving prefetch double-buffering.
+    xla_compiler_options: tuple = (("xla_tpu_scoped_vmem_limit_kib", "40960"),)
     # narrow conv heads: "narrow" (plain nn.Conv) or "dup8" (channel
     # duplication, models/networks.py::DupOutConv) — device-clock A/B
     head_conv: str = "narrow"

@@ -23,7 +23,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
 from ..train.state import Models, TrainState
-from ..train.steps import indexed_train_step, rgba_train_step
+from ..train.steps import (
+    indexed_train_step,
+    rgba_train_step,
+    tpu_compiler_options,
+)
 from .mesh import batch_sharding, replicated
 
 
@@ -49,6 +53,7 @@ def make_dp_train_step(
         in_shardings=(None, data_sh, data_sh),
         out_shardings=(None, repl),
         donate_argnums=(0,) if config.donate_state else (),
+        compiler_options=tpu_compiler_options(config),
     )
 
 
@@ -83,6 +88,7 @@ def make_dp_train_chunk(
         jax.jit,
         static_argnames=("num_steps",),
         donate_argnums=(0,) if config.donate_state else (),
+        compiler_options=tpu_compiler_options(config),
     )
     def train_chunk(state: TrainState, dataset, data_key, num_steps: int):
         def body(state, _):

@@ -265,13 +265,29 @@ def indexed_train_step(
 # ---------------------------------------------------------------------------
 
 
+def tpu_compiler_options(config: Config) -> dict | None:
+    """config.xla_compiler_options as a dict on TPU, None elsewhere.
+
+    TPU-only option names (e.g. xla_tpu_scoped_vmem_limit_kib, laddered in
+    docs/DESIGN.md: 55.8 -> 52.6 ms/step on the flagship) abort the CPU XLA
+    at parse time, so the options are applied only when the default backend
+    is a TPU."""
+    if jax.default_backend() != "tpu":
+        return None
+    return dict(getattr(config, "xla_compiler_options", ()) or ()) or None
+
+
 def make_train_step(config: Config, models: Models) -> Callable:
     """Jitted (state, *batch) -> (state, metrics); donates the state buffers."""
     if config.is_indexed:
         fn = partial(indexed_train_step, config, models)
     else:
         fn = partial(rgba_train_step, config, models)
-    return jax.jit(fn, donate_argnums=(0,) if config.donate_state else ())
+    return jax.jit(
+        fn,
+        donate_argnums=(0,) if config.donate_state else (),
+        compiler_options=tpu_compiler_options(config),
+    )
 
 
 def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Callable:
@@ -298,6 +314,7 @@ def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Calla
         jax.jit,
         static_argnames=("num_steps",),
         donate_argnums=(0,) if config.donate_state else (),
+        compiler_options=tpu_compiler_options(config),
     )
     def train_chunk(state: TrainState, dataset, data_key, num_steps: int):
         def body(state, _):

@@ -29,6 +29,7 @@ def capture(
     variant: str, batch: int, dtype: str, steps: int, log_dir: str,
     donate: bool = False,
     overrides: dict | None = None,
+    compiler_options: dict | None = None,
 ):
     from palette_and_histo_gan_tpu.config import config_for_variant
     from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
@@ -58,13 +59,17 @@ def capture(
     # aggregator can attribute each fusion to a model component via the
     # op_name metadata XLA carries (fusion indices change per compile, so
     # the text MUST come from this process, not a separate dump)
-    compiled = chunk.lower(state, dataset, key, num_steps=steps).compile()
+    compiled = chunk.lower(state, dataset, key, num_steps=steps).compile(
+        compiler_options=compiler_options or None
+    )
     with open(os.path.join("/tmp", "trace_ops_hlo.txt"), "w") as f:
         f.write(compiled.as_text())
-    state, mm = chunk(state, dataset, key, steps)  # warmup (already compiled)
+    # run the *compiled* executable (not the jit wrapper) so TPU
+    # compiler_options A/Bs measure the program they configured
+    state, mm = compiled(state, dataset, key)  # warmup
     float(mm["generator/total_loss"][-1])
     jax.profiler.start_trace(log_dir)
-    state, mm = chunk(state, dataset, key, steps)
+    state, mm = compiled(state, dataset, key)
     float(mm["generator/total_loss"][-1])
     jax.profiler.stop_trace()
 
@@ -207,6 +212,13 @@ def main():
         "throughput number — host-side marginal timing through the tunnel "
         "has shown +-25%% episodes (ab9 vs ab11 vs bench on one tree)",
     )
+    p.add_argument(
+        "--compiler-option", action="append", default=[], metavar="KEY=VALUE",
+        help="XLA compiler option passed via lowered.compile(compiler_"
+        "options=...) — the only way to reach TPU-only flags here (the "
+        "local CPU XLA aborts on unknown names in XLA_FLAGS), e.g. "
+        "--compiler-option xla_tpu_scoped_vmem_limit_kib=65536",
+    )
     args = p.parse_args()
     if not args.aggregate_only:
         os.system(f"rm -rf {args.log_dir}")
@@ -219,9 +231,13 @@ def main():
                 overrides[key] = ast.literal_eval(value)
             except (ValueError, SyntaxError):
                 overrides[key] = value
+        copts = {}
+        for item in args.compiler_option:
+            key, _, value = item.partition("=")
+            copts[key] = value
         capture(
             args.variant, args.batch, args.dtype, args.steps, args.log_dir,
-            donate=args.donate, overrides=overrides,
+            donate=args.donate, overrides=overrides, compiler_options=copts,
         )
     aggregate(args.log_dir, args.top, args.steps)
 
