@@ -121,8 +121,8 @@ def main():
     n_data = 1024
     rng = np.random.default_rng(0)
     dataset = (
-        jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
-        jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+        jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
+        jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
     )
     chunk = make_train_chunk(config, models, n_data)
     data_key = jax.random.PRNGKey(1)

@@ -24,6 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import Config
 from ..train.state import Models, TrainState
 from ..train.steps import (
+    _pack_rows_u32,
+    _unpack_rows_u32,
     indexed_train_step,
     rgba_train_step,
     tpu_compiler_options,
@@ -91,12 +93,22 @@ def make_dp_train_chunk(
         compiler_options=tpu_compiler_options(config),
     )
     def train_chunk(state: TrainState, dataset, data_key, num_steps: int):
+        # 4-byte-lane gather of the uint8 splits (see steps._pack_rows_u32)
+        (src_p, src_shape), (tgt_p, tgt_shape) = (
+            _pack_rows_u32(dataset[0]),
+            _pack_rows_u32(dataset[1]),
+        )
+
         def body(state, _):
             idx = batch_indices(
                 data_key, state.step, dataset_size, config.batch_size
             )
-            source = jax.lax.with_sharding_constraint(dataset[0][idx], data_sh)
-            target = jax.lax.with_sharding_constraint(dataset[1][idx], data_sh)
+            source = jax.lax.with_sharding_constraint(
+                _unpack_rows_u32(src_p[idx], src_shape), data_sh
+            )
+            target = jax.lax.with_sharding_constraint(
+                _unpack_rows_u32(tgt_p[idx], tgt_shape), data_sh
+            )
             return step_fn(state, source, target)
 
         return jax.lax.scan(body, state, None, length=num_steps)

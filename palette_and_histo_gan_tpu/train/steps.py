@@ -265,6 +265,33 @@ def indexed_train_step(
 # ---------------------------------------------------------------------------
 
 
+def _pack_rows_u32(arr: jnp.ndarray):
+    """uint8 (N, ..., 4) -> (uint32 (N, prod/4) view, original shape).
+
+    The per-step batch gather from the HBM-resident uint8 splits runs ~2.3x
+    faster over 4-byte lanes than byte lanes on v5e (0.122 vs 0.279 ms for
+    the two 1024-row gathers, measured standalone). Packing is a pure
+    bitcast — the pack sits OUTSIDE the scan (hoisted once per chunk) and
+    the unpack after the gather reproduces the bytes exactly. Non-uint8
+    datasets (indexed int32 maps, synthetic float batches) pass through.
+    """
+    if arr.dtype != jnp.uint8:
+        return (arr, None)
+    n = arr.shape[0]
+    flat = arr.reshape(n, -1, 4)
+    return (jax.lax.bitcast_convert_type(flat, jnp.uint32), arr.shape)
+
+
+def _unpack_rows_u32(arr: jnp.ndarray, shape):
+    """Inverse of _pack_rows_u32 on a gathered batch."""
+    if shape is None:
+        return arr
+    b = arr.shape[0]
+    return jax.lax.bitcast_convert_type(arr, jnp.uint8).reshape(
+        (b,) + tuple(shape[1:])
+    )
+
+
 def tpu_compiler_options(config: Config) -> dict | None:
     """config.xla_compiler_options as a dict on TPU, None elsewhere.
 
@@ -317,12 +344,17 @@ def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Calla
         compiler_options=tpu_compiler_options(config),
     )
     def train_chunk(state: TrainState, dataset, data_key, num_steps: int):
+        (src_p, src_shape), (tgt_p, tgt_shape) = (
+            _pack_rows_u32(dataset[0]),
+            _pack_rows_u32(dataset[1]),
+        )
+
         def body(state, _):
             idx = batch_indices(
                 data_key, state.step, dataset_size, config.batch_size
             )
-            source = dataset[0][idx]
-            target = dataset[1][idx]
+            source = _unpack_rows_u32(src_p[idx], src_shape)
+            target = _unpack_rows_u32(tgt_p[idx], tgt_shape)
             return step_fn(state, source, target)
 
         return jax.lax.scan(body, state, None, length=num_steps)

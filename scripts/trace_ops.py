@@ -49,9 +49,11 @@ def capture(
             jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 1)), jnp.int32),
         )
     else:
+        # uint8, like the production loader (data/loader.py::prepare_rgba) —
+        # the chunk's 4-byte-lane packed gather only engages on uint8 splits
         dataset = (
-            jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
-            jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+            jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
+            jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
         )
     chunk = make_train_chunk(config, models, n_data)
     key = jax.random.PRNGKey(1)
