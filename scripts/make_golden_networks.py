@@ -1,0 +1,213 @@
+"""Generate network-level golden parity fixtures with TensorFlow.
+
+Builds the reference's exact U-Net generator + PatchGAN discriminator
+topology (/root/reference/networks.py:7-98) out of raw tf.nn ops with
+deterministically generated weights (tests/parity_utils.py — both the TF and
+JAX sides regenerate the same arrays from canonical names, so the fixture
+only stores inputs, outputs and loss scalars, not 120 MB of weights), runs a
+deterministic forward (dropout disabled — its RNG cannot be matched across
+frameworks; InstanceNorm has no train/eval mode), computes one train-step's
+generator/discriminator loss values per the reference formulas
+(pix2pix_model.py:44-56, :273-287, histogram.py:35-89), and pins everything
+into tests/golden/networks_{rgba,indexed}.npz.
+
+Layer semantics reproduced (probed against keras layers, see
+tests/parity_utils.py docstring):
+  - keras Conv2D(k4, s2/s1, SAME)        == tf.nn.conv2d, same kernel layout
+  - keras Conv2DTranspose(k4, s2, SAME)  == tf.nn.conv2d_transpose with
+    output_shape = 2*input (keras core lowering)
+  - tfa InstanceNormalization            == per-(sample, channel) moments
+    over (H, W), eps 1e-3, per-channel gamma/beta (tfa GroupNormalization
+    with groups == channels; tfa itself is not installed under TF 2.21)
+  - keras LeakyReLU() default slope 0.3
+
+Run from the repo root:  python scripts/make_golden_networks.py
+"""
+
+import os
+import sys
+
+os.environ["CUDA_VISIBLE_DEVICES"] = "-1"
+os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
+
+import numpy as np
+import tensorflow as tf
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+import parity_utils as pu  # noqa: E402
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+os.makedirs(OUT, exist_ok=True)
+
+
+def instance_norm(x, scale, offset, eps=1e-3):
+    mean, var = tf.nn.moments(x, axes=[1, 2], keepdims=True)
+    return (x - mean) * tf.math.rsqrt(var + eps) * scale + offset
+
+
+def generator_forward(w, x, in_channels, out_channels, last_activation):
+    """Reference U-Net forward (networks.py:53-98), dropout off."""
+    skips = []
+    inputs = x
+    for i, f in enumerate(pu.DOWN_FILTERS):
+        x = tf.nn.conv2d(x, w[f"gen/down{i}/conv"], strides=2, padding="SAME")
+        if i != 0:
+            x = instance_norm(
+                x, w[f"gen/down{i}/norm/scale"], w[f"gen/down{i}/norm/offset"]
+            )
+        x = tf.nn.leaky_relu(x, alpha=0.3)
+        skips.append(x)
+    skip_sources = list(reversed(skips[:-1])) + [inputs]
+    for i, f in enumerate(pu.UP_FILTERS):
+        b, h, ww = x.shape[0], x.shape[1], x.shape[2]
+        x = tf.nn.conv2d_transpose(
+            x,
+            w[f"gen/up{i}/convt"],
+            output_shape=(b, 2 * h, 2 * ww, f),
+            strides=2,
+            padding="SAME",
+        )
+        x = instance_norm(
+            x, w[f"gen/up{i}/norm/scale"], w[f"gen/up{i}/norm/offset"]
+        )
+        x = tf.nn.relu(x)
+        x = tf.concat([x, skip_sources[i]], axis=-1)
+    x = tf.nn.conv2d(x, w["gen/head/conv"], strides=1, padding="SAME")
+    x = x + w["gen/head/bias"]
+    if last_activation == "tanh":
+        return tf.tanh(x)
+    assert last_activation == "softmax"
+    return tf.nn.softmax(x, axis=-1)
+
+
+def discriminator_forward(w, target, source):
+    """Reference PatchGAN forward (networks.py:39-50): concat -> down(64,
+    no-norm) -> 1-channel conv head."""
+    x = tf.concat([target, source], axis=-1)
+    x = tf.nn.conv2d(x, w["disc/down/conv"], strides=2, padding="SAME")
+    x = tf.nn.leaky_relu(x, alpha=0.3)
+    x = tf.nn.conv2d(x, w["disc/head/conv"], strides=1, padding="SAME")
+    return x + w["disc/head/bias"]
+
+
+def rgbuv_histogram(imgs, size=64, sigma=0.02):
+    """Reference differentiable histogram values (histogram.py:35-81), in
+    numpy: [-1,1]->[0,1], drop alpha, intensity sqrt(R^2+G^2+B^2+eps),
+    log-chroma u/v per channel, inverse-quadratic kernel over
+    linspace(-3, 3, size), normalized to sum 1."""
+    eps = 1e-6
+    x = (np.asarray(imgs, np.float64) + 1.0) / 2.0
+    x = x[..., :3].reshape(x.shape[0], -1, 3)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    iy = np.sqrt(r**2 + g**2 + b**2 + eps)
+    domain = np.linspace(-3.0, 3.0, size)
+    hists = []
+    for c, p1, p2 in ((r, g, b), (g, r, b), (b, r, g)):
+        iu = np.log(c + eps) - np.log(p1 + eps)
+        iv = np.log(c + eps) - np.log(p2 + eps)
+        du = (iu[..., None] - domain[None, None, :]) ** 2 / sigma**2
+        dv = (iv[..., None] - domain[None, None, :]) ** 2 / sigma**2
+        ku = 1.0 / (1.0 + du)  # inverse-quadratic kernel (histogram.py:26-27)
+        kv = 1.0 / (1.0 + dv)
+        hists.append(np.einsum("bn,bnu,bnv->buv", iy, ku, kv))
+    h = np.stack(hists, axis=-1)  # (B, size, size, 3)
+    norm = h.reshape(h.shape[0], -1).sum(-1)[:, None, None, None]
+    return h / norm
+
+
+def hellinger(h1, h2):
+    """histogram.py:84-89: 1/sqrt(2) * ||sqrt(h1)-sqrt(h2)||_2 / B."""
+    d = np.sqrt(h1) - np.sqrt(h2)
+    return (1.0 / np.sqrt(2.0)) * np.sqrt((d**2).sum()) / h1.shape[0]
+
+
+def save(name, **arrays):
+    np.savez(os.path.join(OUT, name + ".npz"), **arrays)
+    total = sum(a.nbytes for a in arrays.values())
+    print(f"wrote {name}.npz ({total/1e6:.2f} MB): {', '.join(arrays)}")
+
+
+bce = tf.keras.losses.BinaryCrossentropy(from_logits=True)
+cce = tf.keras.losses.CategoricalCrossentropy(from_logits=False)
+
+# --- RGBA topology (baseline / histogram variants) --------------------------
+B = 2
+wg = pu.materialize(pu.generator_param_spec(4, 4))
+wd = pu.materialize(pu.discriminator_param_spec(4))
+source = pu.parity_input("networks/rgba/source", (B, 64, 64, 4))
+real = pu.parity_input("networks/rgba/real", (B, 64, 64, 4))
+
+fake = generator_forward(wg, tf.constant(source), 4, 4, "tanh")
+d_real = discriminator_forward(wd, tf.constant(real), tf.constant(source))
+d_fake = discriminator_forward(wd, fake, tf.constant(source))
+
+g_adv = bce(tf.ones_like(d_fake), d_fake).numpy()
+l1 = tf.reduce_mean(tf.abs(tf.constant(real) - fake)).numpy()
+d_real_loss = bce(tf.ones_like(d_real), d_real).numpy()
+d_fake_loss = bce(tf.zeros_like(d_fake), d_fake).numpy()
+hist_real = rgbuv_histogram(real)
+hist_fake = rgbuv_histogram(fake.numpy())
+hell = hellinger(hist_real, hist_fake)
+
+save(
+    "networks_rgba",
+    source=source,
+    real=real,
+    fake=fake.numpy(),
+    d_real=d_real.numpy(),
+    d_fake=d_fake.numpy(),
+    g_adversarial=np.float32(g_adv),
+    g_l1=np.float32(l1),
+    g_total_baseline=np.float32(g_adv + 100.0 * l1),
+    g_total_histogram=np.float32(g_adv + 30.0 * l1 + 1.0 * hell),
+    hellinger=np.float32(hell),
+    d_real_loss=np.float32(d_real_loss),
+    d_fake_loss=np.float32(d_fake_loss),
+    d_total=np.float32(d_real_loss + d_fake_loss),
+)
+
+# --- indexed topology (1 -> 256 softmax G, 1-channel D) ---------------------
+rng = np.random.default_rng(pu.zlib.crc32(b"networks/indexed"))
+source_idx = rng.integers(0, 256, size=(B, 64, 64, 1)).astype(np.float32)
+real_idx = rng.integers(0, 256, size=(B, 64, 64, 1)).astype(np.int32)
+
+wgi = pu.materialize(pu.generator_param_spec(1, 256))
+wdi = pu.materialize(pu.discriminator_param_spec(1))
+
+probs = generator_forward(wgi, tf.constant(source_idx), 1, 256, "softmax")
+fake_idx = tf.expand_dims(
+    tf.argmax(probs, axis=-1, output_type=tf.int32), -1
+)  # pix2pix_model.py:287
+d_real_i = discriminator_forward(
+    wdi, tf.cast(real_idx, tf.float32), tf.constant(source_idx)
+)
+d_fake_i = discriminator_forward(
+    wdi, tf.cast(fake_idx, tf.float32), tf.constant(source_idx)
+)
+one_hot = tf.reshape(
+    tf.one_hot(real_idx, 256, axis=-1), [B, 64, 64, -1]
+)  # pix2pix_model.py:300-301
+seg = cce(one_hot, probs).numpy()
+g_adv_i = bce(tf.ones_like(d_fake_i), d_fake_i).numpy()
+l1_i = tf.reduce_mean(tf.abs(one_hot - probs)).numpy()  # reported, weight 0
+d_real_loss_i = bce(tf.ones_like(d_real_i), d_real_i).numpy()
+d_fake_loss_i = bce(tf.zeros_like(d_fake_i), d_fake_i).numpy()
+
+save(
+    "networks_indexed",
+    source=source_idx,
+    real=real_idx,
+    probs_slice=probs.numpy()[:, ::8, ::8, :],  # full tensor is 8 MB; pin a grid
+    fake_idx=fake_idx.numpy(),
+    d_real=d_real_i.numpy(),
+    d_fake=d_fake_i.numpy(),
+    g_adversarial=np.float32(g_adv_i),
+    g_l1=np.float32(l1_i),
+    segmentation=np.float32(seg),
+    g_total=np.float32(g_adv_i + 0.0 * l1_i + 0.01 * seg),
+    d_real_loss=np.float32(d_real_loss_i),
+    d_fake_loss=np.float32(d_fake_loss_i),
+    d_total=np.float32(d_real_loss_i + d_fake_loss_i),
+)
+
+print("done")

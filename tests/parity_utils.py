@@ -1,0 +1,130 @@
+"""Shared deterministic weight generation for TF<->Flax network parity.
+
+The network-parity fixtures (tests/golden/networks_*.npz) pin the TF-built
+reference U-Net / PatchGAN forward outputs and train-step loss values
+(/root/reference/networks.py:7-98, pix2pix_model.py:44-56) against the Flax
+networks. Shipping the full 29.3M-param weight arrays in git would cost
+~120 MB, so instead BOTH sides regenerate every weight deterministically
+from its canonical name: scripts/make_golden_networks.py (TF 2.21) assigns
+them into keras models and records only inputs + outputs + losses; the test
+(tests/test_parity.py) assigns the identical arrays into the Flax param tree
+and compares.
+
+Weight layout contract (probed empirically, /tmp parity probe, 2026-08-17):
+  - Conv2D k4 SAME: keras kernel (kh, kw, cin, cout) == flax nn.Conv kernel;
+    forward is bit-exact between tf.nn.conv2d and lax.conv_general_dilated.
+  - Conv2DTranspose k4 s2 SAME: keras kernel is (kh, kw, cout, cin); the
+    flax nn.ConvTranspose (transpose_kernel=False) kernel that computes the
+    same function is  K_flax = transpose(K_tf[::-1, ::-1], (0, 1, 3, 2))
+    (spatial flip + channel-axis swap), max |diff| ~1e-6 at these scales.
+  - tfa InstanceNormalization == per-(sample, channel) mean/var over (H, W),
+    eps 1e-3, learned per-channel gamma/beta.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+# topology constants per /root/reference/networks.py:57-73
+DOWN_FILTERS = (64, 128, 256, 512, 512, 512)
+UP_FILTERS = (512, 512, 256, 128, 64, 32)
+
+
+def make_param(name: str, shape, kind: str) -> np.ndarray:
+    """Deterministic pseudo-random parameter, keyed only by canonical name.
+
+    Kinds: "conv"/"bias" ~ N(0, 0.02) (the reference init scale,
+    networks.py:7), "scale" ~ N(1, 0.05), "offset" ~ N(0, 0.05) — the norm
+    params are perturbed away from their (1, 0) init so the parity test
+    actually exercises gamma/beta application.
+    """
+    rng = np.random.default_rng(zlib.crc32(name.encode("utf-8")))
+    if kind in ("conv", "bias"):
+        return rng.normal(0.0, 0.02, size=shape).astype(np.float32)
+    if kind == "scale":
+        return rng.normal(1.0, 0.05, size=shape).astype(np.float32)
+    if kind == "offset":
+        return rng.normal(0.0, 0.05, size=shape).astype(np.float32)
+    raise ValueError(kind)
+
+
+def generator_param_spec(in_channels: int, out_channels: int):
+    """Ordered (name, shape, kind) for the U-Net, TF kernel layouts.
+
+    ConvTranspose shapes are the KERAS layout (kh, kw, cout, cin); the Flax
+    side flips/swaps per the module docstring contract.
+    """
+    spec = []
+    cin = in_channels
+    for i, f in enumerate(DOWN_FILTERS):
+        spec.append((f"gen/down{i}/conv", (4, 4, cin, f), "conv"))
+        if i != 0:
+            spec.append((f"gen/down{i}/norm/scale", (f,), "scale"))
+            spec.append((f"gen/down{i}/norm/offset", (f,), "offset"))
+        cin = f
+    # decoder input channels: bottleneck 512, then concat(up_i, skip) widths
+    skip_widths = list(reversed(DOWN_FILTERS[:-1])) + [in_channels]
+    for i, f in enumerate(UP_FILTERS):
+        spec.append((f"gen/up{i}/convt", (4, 4, f, cin), "conv"))  # keras layout
+        spec.append((f"gen/up{i}/norm/scale", (f,), "scale"))
+        spec.append((f"gen/up{i}/norm/offset", (f,), "offset"))
+        cin = f + skip_widths[i]
+    spec.append(("gen/head/conv", (4, 4, cin, out_channels), "conv"))
+    spec.append(("gen/head/bias", (out_channels,), "bias"))
+    return spec
+
+
+def discriminator_param_spec(in_channels: int):
+    """Ordered (name, shape, kind) for the PatchGAN (networks.py:39-50)."""
+    return [
+        ("disc/down/conv", (4, 4, 2 * in_channels, 64), "conv"),
+        ("disc/head/conv", (4, 4, 64, 1), "conv"),
+        ("disc/head/bias", (1,), "bias"),
+    ]
+
+
+def materialize(spec) -> dict:
+    return {name: make_param(name, shape, kind) for name, shape, kind in spec}
+
+
+def flax_generator_params(in_channels: int, out_channels: int) -> dict:
+    """The Flax UnetGenerator (transpose_impl="lax") param tree holding the
+    same function as the keras model built from generator_param_spec."""
+    w = materialize(generator_param_spec(in_channels, out_channels))
+    tree = {}
+    for i in range(len(DOWN_FILTERS)):
+        block = {"Conv_0": {"kernel": w[f"gen/down{i}/conv"]}}
+        if i != 0:
+            block["InstanceNorm_0"] = {
+                "scale": w[f"gen/down{i}/norm/scale"],
+                "offset": w[f"gen/down{i}/norm/offset"],
+            }
+        tree[f"DownBlock_{i}"] = block
+    for i in range(len(UP_FILTERS)):
+        k_tf = w[f"gen/up{i}/convt"]
+        k_flax = np.transpose(k_tf[::-1, ::-1], (0, 1, 3, 2)).copy()
+        tree[f"UpBlock_{i}"] = {
+            "ConvTranspose_0": {"kernel": k_flax},
+            "InstanceNorm_0": {
+                "scale": w[f"gen/up{i}/norm/scale"],
+                "offset": w[f"gen/up{i}/norm/offset"],
+            },
+        }
+    tree["Conv_0"] = {"kernel": w["gen/head/conv"], "bias": w["gen/head/bias"]}
+    return tree
+
+
+def flax_discriminator_params(in_channels: int) -> dict:
+    w = materialize(discriminator_param_spec(in_channels))
+    return {
+        "DownBlock_0": {"Conv_0": {"kernel": w["disc/down/conv"]}},
+        "Conv_0": {"kernel": w["disc/head/conv"], "bias": w["disc/head/bias"]},
+    }
+
+
+def parity_input(name: str, shape) -> np.ndarray:
+    """Deterministic input batch in [-1, 1] (the nets' operating range)."""
+    rng = np.random.default_rng(zlib.crc32(name.encode("utf-8")))
+    return rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
