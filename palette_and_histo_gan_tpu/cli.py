@@ -100,6 +100,17 @@ def config_from_args(args) -> "Config":
         overrides["data_root"] = args.data_root
     if args.data_roots is not None:
         overrides["data_roots"] = tuple(args.data_roots)
+        sizes = args.dataset_sizes
+        if sizes is None and len(args.data_roots) != 1:
+            raise SystemExit(
+                f"--data-roots got {len(args.data_roots)} roots but "
+                "--dataset-sizes was not given; pass one size per root"
+            )
+        if sizes is not None and len(sizes) != len(args.data_roots):
+            raise SystemExit(
+                f"--data-roots ({len(args.data_roots)}) and --dataset-sizes "
+                f"({len(sizes)}) must have the same length"
+            )
     if args.dataset_sizes is not None:
         overrides["dataset_sizes"] = tuple(args.dataset_sizes)
     return config_for_variant(args.model, **overrides)

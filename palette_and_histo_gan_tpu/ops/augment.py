@@ -196,10 +196,14 @@ def augment_batch(
 
         def shift(img):
             # out[y, x, c] = sum_{j,k} P[y, j] img[j, k, c] Q[x, k]
-            # HIGH (bf16x3) is *exact* here, not approximate: P/Q are 0/1
-            # (no low bf16 half), so the cross terms reconstruct
-            # P @ (img_hi + img_lo) bit-exactly while costing half of
-            # HIGHEST's six MXU passes
+            # HIGH (bf16x3): P/Q are 0/1 so their bf16 low halves are zero
+            # and the kept cross terms reconstruct P @ (img_hi + img_lo) —
+            # a TWO-way bf16 split of img (~16-17 significand bits). Exact
+            # for integer-valued img, but the shift runs on hue-rotated
+            # non-integer floats, so TPU outputs can deviate up to ~|x|*2^-17
+            # (~2e-3 on the 0-255 scale) from the f32 path. Accepted: half
+            # of HIGHEST's MXU passes for noise far below quantization;
+            # tests/test_augment.py's end-to-end tolerance (4e-3) covers it.
             return jnp.einsum(
                 "yj,jkc,xk->yxc", p_mat, img, q_mat,
                 precision=jax.lax.Precision.HIGH,

@@ -68,10 +68,12 @@ def train_step_flops_per_image(config) -> float:
     total = 3.0 * g_fwd
     # D forward passes: fake (G loss), real + fake (D loss)
     total += 3.0 * d_fwd
-    # G loss backward through D: input-grads only; D loss backward: weight
-    # grads only. The indexed variant's argmax blocks the adversarial
-    # gradient, so its D input-grad chain is dead code (XLA removes it).
-    total += d_fwd if config.is_indexed else 2.0 * d_fwd
+    # G loss backward through D: one input-grad conv pass; D loss backward:
+    # weight-grad conv passes for BOTH its forward evaluations (real and
+    # fake) = 2 more. The indexed variant's argmax blocks the adversarial
+    # gradient, so its D input-grad chain is dead code (XLA removes it),
+    # leaving only the 2 weight-grad passes.
+    total += 2.0 * d_fwd if config.is_indexed else 3.0 * d_fwd
     if config.model == "histogram":
         hist = _histogram_dot_flops(config)
         # real: fwd; fake: fwd + backward (three dots per channel in the

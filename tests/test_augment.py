@@ -164,8 +164,12 @@ def test_augment_batch_end_to_end_matches_per_image_reference():
 
         if choice[i] < prob:
             took_aug += 1
-            np.testing.assert_allclose(out_s[i], reference(srcs[i]), atol=1e-3)
-            np.testing.assert_allclose(out_t[i], reference(tgts[i]), atol=1e-3)
+            # 4e-3 covers the TPU shift einsum's Precision.HIGH two-way bf16
+            # split of the hue-rotated floats (~|x|*2^-17 on the 0-255
+            # scale, ops/augment.py); CPU ignores precision flags and
+            # matches to f32 roundoff
+            np.testing.assert_allclose(out_s[i], reference(srcs[i]), atol=4e-3)
+            np.testing.assert_allclose(out_t[i], reference(tgts[i]), atol=4e-3)
         else:
             np.testing.assert_allclose(out_s[i], srcs[i], atol=0)
             np.testing.assert_allclose(out_t[i], tgts[i], atol=0)

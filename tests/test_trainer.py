@@ -159,3 +159,30 @@ def test_cli_smoke(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "Starting training" in out
     assert os.path.isdir(os.path.join("temp-side2side", "logs"))
+
+
+def test_cli_rejects_misaligned_data_roots():
+    """Multiple --data-roots without (or with misaligned) --dataset-sizes
+    must fail at argument parsing, not as a later loader ValueError."""
+    import pytest
+
+    from palette_and_histo_gan_tpu import cli
+
+    parser = cli.build_parser()
+    with pytest.raises(SystemExit):
+        cli.config_from_args(
+            parser.parse_args(["--data-roots", "/a", "/b"])
+        )
+    with pytest.raises(SystemExit):
+        cli.config_from_args(
+            parser.parse_args(
+                ["--data-roots", "/a", "/b", "--dataset-sizes", "294"]
+            )
+        )
+    cfg = cli.config_from_args(
+        parser.parse_args(
+            ["--data-roots", "/a", "/b", "--dataset-sizes", "100", "200"]
+        )
+    )
+    assert cfg.effective_data_roots == ("/a", "/b")
+    assert cfg.dataset_sizes == (100, 200)
