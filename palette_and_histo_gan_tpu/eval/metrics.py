@@ -4,6 +4,18 @@ Mirrors S2SModel.report_l1 / evaluate_l1 (side2side_model.py:162-176,
 pix2pix_model.py:124-125). Where the reference generates evaluation images
 one at a time with batch-1 generator calls (pix2pix_model.py:112-122), this
 path generates the whole split in one jitted batched call on device.
+
+DOCUMENTED DIVERGENCE (eval sample selection): the reference's
+select_examples_for_evaluation draws `ds.unbatch().take(n)` from the
+*reshuffling* train dataset (pix2pix_model.py:112-122 over the
+`.shuffle(TRAIN_SIZE)` pipeline, dataset_utils.py:210), so each train-split
+L1/FID report sees a fresh random 44-image sample; the test split (no
+shuffle) is deterministic. This build evaluates the deterministic first
+`num_images` of BOTH splits: train-split metrics are exactly reproducible
+across runs and directly comparable step-to-step, at the cost of measuring
+a fixed subsample rather than a fresh draw (44 of 250 train pairs).
+Test-split values are protocol-identical to the reference. Listed in the
+README quirks section next to the other divergences.
 """
 
 from __future__ import annotations
