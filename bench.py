@@ -29,63 +29,7 @@ NORTH_STAR = 20000.0
 V5E_PEAK_FLOPS = 197e12
 
 
-def device_step_seconds(timed_fn, steps) -> float | None:
-    """Seconds/step of actual device occupancy, from a jax.profiler trace.
-
-    Returns None if tracing or the xplane protos are unavailable (then the
-    marginal-rate wall clock is used instead)."""
-    import glob
-    import shutil
-    import tempfile
-
-    log_dir = tempfile.mkdtemp(prefix="phg_bench_trace_")
-    try:
-        try:
-            jax.profiler.start_trace(log_dir)
-            timed_fn(steps)
-        finally:
-            jax.profiler.stop_trace()
-        import importlib
-
-        xplane_pb2 = None
-        for mod in (
-            "tensorflow.tsl.profiler.protobuf.xplane_pb2",
-            "tensorflow.core.profiler.protobuf.xplane_pb2",
-            "tsl.profiler.protobuf.xplane_pb2",
-        ):
-            try:
-                xplane_pb2 = importlib.import_module(mod)
-                break
-            except ImportError:
-                continue
-        if xplane_pb2 is None:
-            return None
-        total = 0.0
-        found = False
-        for path in glob.glob(
-            os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True
-        ):
-            xs = xplane_pb2.XSpace()
-            with open(path, "rb") as f:
-                xs.ParseFromString(f.read())
-            for plane in xs.planes:
-                if not plane.name.startswith("/device:TPU"):
-                    continue
-                meta = plane.event_metadata
-                for line in plane.lines:
-                    if line.name != "XLA Ops":  # leaf compute ops only
-                        continue
-                    for ev in line.events:
-                        name = meta[ev.metadata_id].name
-                        if name.startswith(("%while", "jit_", "%jit")):
-                            continue
-                        total += ev.duration_ps / 1e12
-                        found = True
-        return total / steps if found and total > 0 else None
-    except Exception:
-        return None
-    finally:
-        shutil.rmtree(log_dir, ignore_errors=True)
+from palette_and_histo_gan_tpu.utils.profiling import device_step_seconds
 
 
 def step_flops(config, batch) -> float:

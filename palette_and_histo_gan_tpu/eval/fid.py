@@ -234,20 +234,42 @@ class FidEvaluator:
         batch_size: int = 11,
         reference_quirks: bool = True,
         input_size: int = 299,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh with a "data" axis; Inception
+        forwards then shard the image batch across it (activations are
+        per-sample, so values are unchanged — asserted in
+        tests/test_parallel.py). batch_size is rounded up to a multiple of
+        the data-axis size."""
         self.model, self.variables = inception_mod.load_params(input_size=input_size)
+        self.mesh = mesh
+        if mesh is not None:
+            ndev = mesh.shape["data"]
+            batch_size = -(-batch_size // ndev) * ndev
         self.batch_size = batch_size
         self.input_size = input_size
         self.reference_quirks = reference_quirks
 
-        @partial(jax.jit, static_argnames=("quirks",))
-        def _features(variables, images, quirks):
+        def _features_fn(variables, images, quirks):
             images = images.astype(jnp.float32)
             scaled = scale_images_nn(images, self.input_size, quirks)
             pre = preprocess_input(scaled)
             return self.model.apply(variables, pre)
 
-        self._features = _features
+        if mesh is None:
+            self._features = jax.jit(_features_fn, static_argnames=("quirks",))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            data_sh = NamedSharding(mesh, PartitionSpec("data"))
+            repl = NamedSharding(mesh, PartitionSpec())
+            self._data_sharding = data_sh
+            self._features = jax.jit(
+                _features_fn,
+                static_argnames=("quirks",),
+                in_shardings=(None, data_sh),
+                out_shardings=repl,
+            )
         self._distance = jax.jit(frechet_distance)
         self._distance_lowrank = jax.jit(frechet_distance_lowrank)
 
@@ -261,12 +283,15 @@ class FidEvaluator:
             if chunk.shape[0] < b:  # pad to static shape, drop after
                 pad = b - chunk.shape[0]
                 chunk = jnp.concatenate([chunk, jnp.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-                acts = self._features(self.variables, chunk, self.reference_quirks)[
-                    : b - pad
-                ]
             else:
-                acts = self._features(self.variables, chunk, self.reference_quirks)
-            chunks.append(acts)
+                pad = 0
+            if self.mesh is not None:
+                # eval images arrive committed to one device (or sharded by
+                # the DP generate); jit's explicit in_shardings refuses to
+                # reshard committed args, so place the chunk explicitly
+                chunk = jax.device_put(chunk, self._data_sharding)
+            acts = self._features(self.variables, chunk, self.reference_quirks)
+            chunks.append(acts[: b - pad] if pad else acts)
         return jnp.concatenate(chunks, axis=0)
 
     def compare(self, images1, images2, method: str = "auto") -> float:

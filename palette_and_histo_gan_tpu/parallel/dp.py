@@ -117,31 +117,44 @@ def make_dp_train_chunk(
 
 
 def make_dp_generate_fn(config: Config, models: Models, mesh: Mesh) -> Callable:
-    """Batched inference with the batch sharded across the mesh."""
-    from ..train.steps import make_generate_fn  # unjitted core
+    """Batched inference with the batch sharded across the mesh.
+
+    Used by the Trainer's evaluation/preview paths when a mesh is active
+    (side2side_model.py:144-160's report_l1/report_fid generate work, which
+    the reference runs one image at a time on its single device). The eval
+    batch sizes (44 images, 6-image previews) rarely divide the device
+    count, and jit rejects unevenly-sharded inputs — so the batch is padded
+    to the next multiple of the data-axis size and the output sliced back.
+    This is EXACTLY equal to the single-device generate for every batch
+    size: JAX's counter-mode PRNG draws are prefix-stable (row i of an
+    (N, ...) draw depends only on the key and i, not N), so the dropout
+    masks of the first n rows are bit-identical under padding, and the
+    sharding itself does not change values (partitionable threefry;
+    asserted in tests/test_parallel.py).
+    """
+    import jax.numpy as jnp
+
+    from ..train.steps import generate_core
 
     data_sh = batch_sharding(mesh, config.data_axis)
+    ndev = mesh.shape[config.data_axis]
 
-    def generate(g_params, source, rng):
-        if config.is_indexed:
-            import jax.numpy as jnp
-
-            probs = models.generator.apply(
-                {"params": g_params},
-                source.astype(jnp.float32),
-                deterministic=False,
-                rngs={"dropout": rng},
-            )
-            return jnp.argmax(probs, axis=-1)[..., None].astype(jnp.int32)
-        return models.generator.apply(
-            {"params": g_params},
-            source,
-            deterministic=False,
-            rngs={"dropout": rng},
-        )
-
-    return jax.jit(
-        generate,
+    jitted = jax.jit(
+        generate_core(config, models),
         in_shardings=(None, data_sh, None),
         out_shardings=data_sh,
     )
+
+    def generate_padded(g_params, source, rng):
+        source = jnp.asarray(source)
+        n = source.shape[0]
+        pad = (-n) % ndev
+        if pad:
+            filler = jnp.broadcast_to(
+                source[:1], (pad,) + tuple(source.shape[1:])
+            )
+            source = jnp.concatenate([source, filler], axis=0)
+        out = jitted(g_params, source, rng)
+        return out[:n] if pad else out
+
+    return generate_padded

@@ -362,13 +362,15 @@ def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Calla
     return train_chunk
 
 
-def make_generate_fn(config: Config, models: Models) -> Callable:
-    """Jitted inference mirroring Pix2PixModel.generate (pix2pix_model.py:58-60)
-    and Pix2PixIndexedModel.generate (:283-287).
+def generate_core(config: Config, models: Models) -> Callable:
+    """Unjitted inference core mirroring Pix2PixModel.generate
+    (pix2pix_model.py:58-60) and Pix2PixIndexedModel.generate (:283-287).
 
     RGBA: normalized source -> [-1, 1] fake image.
     Indexed: index-map source -> int32 index map via argmax.
     Dropout stays ACTIVE (training=True in every reference generate call).
+    Shared by the single-device jit (make_generate_fn) and the DP-sharded
+    jit (parallel.dp.make_dp_generate_fn) so both compute the same function.
     """
 
     def generate(g_params, source, rng):
@@ -381,7 +383,12 @@ def make_generate_fn(config: Config, models: Models) -> Callable:
             return jnp.argmax(logits, axis=-1)[..., None].astype(jnp.int32)
         return _apply_generator(models, g_params, source, rng)
 
-    return jax.jit(generate)
+    return generate
+
+
+def make_generate_fn(config: Config, models: Models) -> Callable:
+    """Jitted single-device inference (see generate_core)."""
+    return jax.jit(generate_core(config, models))
 
 
 def make_discriminate_fn(config: Config, models: Models) -> Callable:

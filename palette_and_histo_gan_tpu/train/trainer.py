@@ -99,7 +99,17 @@ class Trainer:
             )
         else:
             self.train_chunk = make_train_chunk(config, self.models, self.train_ds.n)
-        self.generate_fn = make_generate_fn(config, self.models)
+        if self.mesh is not None:
+            # evaluation/preview generate work rides the mesh too
+            # (side2side_model.py:144-160 under BASELINE.json config 5);
+            # pad-and-slice keeps it bit-equal to the single-device path
+            from ..parallel import dp as dp_mod
+
+            self.generate_fn = dp_mod.make_dp_generate_fn(
+                config, self.models, self.mesh
+            )
+        else:
+            self.generate_fn = make_generate_fn(config, self.models)
         self.discriminate_fn = make_discriminate_fn(config, self.models)
         self.manager = ckpt_mod.make_manager(config)
         self.writer = None
@@ -317,7 +327,7 @@ class Trainer:
         if self._fid is None:
             from ..eval.fid import FidEvaluator
 
-            self._fid = FidEvaluator()
+            self._fid = FidEvaluator(mesh=self.mesh)
         rng = jax.random.PRNGKey(self.config.seed + 3)
         k1, k2 = jax.random.split(rng)
         r_train, f_train = eval_metrics.generate_split(

