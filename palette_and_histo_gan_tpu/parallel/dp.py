@@ -154,6 +154,10 @@ def make_dp_generate_fn(config: Config, models: Models, mesh: Mesh) -> Callable:
                 source[:1], (pad,) + tuple(source.shape[1:])
             )
             source = jnp.concatenate([source, filler], axis=0)
+        # callers hand over host arrays, single-device-committed arrays, or
+        # replicated dataset slices; jit's explicit in_shardings refuses to
+        # reshard committed args, so place the batch explicitly
+        source = jax.device_put(source, data_sh)
         out = jitted(g_params, source, rng)
         return out[:n] if pad else out
 
