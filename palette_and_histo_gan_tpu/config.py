@@ -143,6 +143,11 @@ class Config:
     # "pallas" (v1 kernel, f32 (HW, size) layout), or "pallas2" (v2 kernel,
     # bf16 (size, HW) lane-full layout) — device-clock A/B picks the default
     histogram_impl: str = "xla"
+    # augmentation implementation: "xla" (ops/augment.py one-hot-matmul
+    # shift) or "pallas" (ops/augment_pallas.py fused one-pass kernel:
+    # hue + shift + select in VMEM, uint8 in / f32 out) — device-clock A/B
+    # picks the default
+    augment_impl: str = "xla"
 
     # network widths (reference: networks.py:57-73); overridable so tests and
     # dry runs can construct the *real* Trainer with narrow, fast-compiling

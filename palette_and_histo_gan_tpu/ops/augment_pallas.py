@@ -1,0 +1,200 @@
+"""Fused Pallas TPU kernel for paired hue-rotation + translation augmentation.
+
+One HBM pass for the whole augmentation (reference semantics:
+/root/reference/dataset_utils.py:80-120, reproduced by ops/augment.py):
+each grid program loads one (source, target) image pair into VMEM, applies
+the shared hue rotation, the shared integer translation, and the
+keep-with-prob select entirely on the VPU, and writes the float32 results.
+
+Why: in the XLA path the batched one-hot shift matmuls lower to
+batch-in-lanes input-dilated convolutions at ~20x their FLOP cost, and the
+hue chain / select materialize additional full-batch tensors — ~5.8 ms of a
+38.8 ms baseline step at batch 1024 (docs/DESIGN.md round-3 trace). The
+fused kernel's traffic is one read of each uint8 input (16.8 MB) plus one
+write of each f32 output (67 MB) — a ~0.2 ms floor at v5e HBM bandwidth.
+
+Layout: images are viewed as (B, H, W*C) so a program block is (1, 64, 256)
+— full 8x128 f32 tiles with lane index 4x + c. Channel access for the hue
+math uses lane rolls (g and b aligned onto r's lanes); the hue result is
+computed redundantly on all 256 lanes and reassembled with lane-index
+selects. The translation is a circular `pltpu.roll` over rows (sublanes)
+and lanes (by 4*sx, preserving channel alignment) with the wrapped region
+masked to the constant fill 0 — exactly translate_nearest's clamp+mask
+semantics (ops/augment.py:93-108).
+
+Randomness is drawn OUTSIDE the kernel with the same key schedule as
+ops.augment.augment_batch, so for one PRNG key the two implementations
+compute the same augmentation (parity-tested in tests/test_augment.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .augment import HEIGHT_FACTOR, MAX_HUE_DELTA, WIDTH_FACTOR
+
+H = 64
+LANES = 256  # W * C = 64 * 4
+CH = 4
+
+
+def _hue_rotate_lanes(v: jnp.ndarray, delta) -> jnp.ndarray:
+    """Hue-rotate a (64, 256) lane-interleaved RGBA image by `delta` turns.
+
+    Implements exactly ops/augment.py::adjust_hue (the TF rgb<->hsv
+    convention) with channels accessed by lane rolls: after aligning g and b
+    onto r's lanes the full HSV round-trip runs on every lane (only lanes
+    = 0 mod 4 hold meaningful triples) and the three rotated channels are
+    reassembled by lane-index selects. Alpha lanes pass through.
+    """
+    g_al = pltpu.roll(v, shift=LANES - 1, axis=1)  # lane 4k now holds g
+    b_al = pltpu.roll(v, shift=LANES - 2, axis=1)  # lane 4k now holds b
+
+    r, g, b = v, g_al, b_al
+    vmax = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    rng = vmax - mn
+    safe_rng = jnp.where(rng == 0, 1.0, rng)
+    safe_v = jnp.where(vmax == 0, 1.0, vmax)
+    s = jnp.where(vmax == 0, 0.0, rng / safe_v)
+
+    hr = ((g - b) / safe_rng) % 6.0
+    hg = (b - r) / safe_rng + 2.0
+    hb = (r - g) / safe_rng + 4.0
+    h = jnp.where(vmax == r, hr, jnp.where(vmax == g, hg, hb))
+    h = jnp.where(rng == 0, 0.0, h / 6.0)
+
+    h = (h + delta) % 1.0
+    dh = (h % 1.0) * 6.0
+    dr = jnp.clip(jnp.abs(dh - 3.0) - 1.0, 0.0, 1.0)
+    dg = jnp.clip(2.0 - jnp.abs(dh - 2.0), 0.0, 1.0)
+    db = jnp.clip(2.0 - jnp.abs(dh - 4.0), 0.0, 1.0)
+    one_minus_s = 1.0 - s
+    nr = vmax * (one_minus_s + s * dr)
+    ng = vmax * (one_minus_s + s * dg)
+    nb = vmax * (one_minus_s + s * db)
+
+    lane_mod = jax.lax.broadcasted_iota(jnp.int32, (H, LANES), 1) % CH
+    return jnp.where(
+        lane_mod == 0,
+        nr,
+        jnp.where(
+            lane_mod == 1,
+            pltpu.roll(ng, shift=1, axis=1),
+            jnp.where(lane_mod == 2, pltpu.roll(nb, shift=2, axis=1), v),
+        ),
+    )
+
+
+def _shift_lanes(x: jnp.ndarray, sy, sx) -> jnp.ndarray:
+    """out[y, 4x+c] = x[y-sy, 4(x-sx)+c], zero fill: circular rolls with the
+    wrapped region masked (translate_nearest semantics)."""
+    # pltpu.roll requires non-negative shifts; modular shift is the
+    # same circular permutation
+    rolled = pltpu.roll(x, shift=sy % H, axis=0)
+    rolled = pltpu.roll(rolled, shift=(CH * sx) % LANES, axis=1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, LANES), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, LANES), 1) // CH
+    ok = (
+        (row - sy >= 0)
+        & (row - sy < H)
+        & (col - sx >= 0)
+        & (col - sx < H)
+    )
+    return jnp.where(ok, rolled, 0.0)
+
+
+def _augment_kernel(
+    delta_ref, sy_ref, sx_ref, keep_ref, src_ref, tgt_ref, out_s_ref, out_t_ref,
+    *, block, normalize_out
+):
+    i = pl.program_id(0)
+    # `block` images per program amortize the per-program DMA fixed costs
+    # (1024 single-image programs measured 1.14 ms; the compute itself is
+    # ~0.2 ms of traffic). The per-image loop is unrolled at trace time.
+    for j in range(block):
+        idx = i * block + j
+        delta = delta_ref[idx]
+        sy = sy_ref[idx]
+        sx = sx_ref[idx]
+        keep = keep_ref[idx]
+
+        for in_ref, out_ref in ((src_ref, out_s_ref), (tgt_ref, out_t_ref)):
+            v = in_ref[j]
+            if v.dtype == jnp.uint8:
+                # Mosaic has no direct u8 -> f32 cast; widen through int32
+                v = v.astype(jnp.int32)
+            v = v.astype(jnp.float32)
+            aug = _shift_lanes(_hue_rotate_lanes(v, delta), sy, sx)
+            out = jnp.where(keep != 0, aug, v)
+            if normalize_out:
+                # fold ops.image.normalize ([0,255] -> [-1,1]) into the
+                # write: same formula, saves a full-batch elementwise pass
+                out = out / 127.5 - 1.0
+            out_ref[j] = out
+
+
+# NOT jitted here: the caller (train step) is always jitted, and a nested
+# jit's closed_call inside the scanned step trips a cached-lowering KeyError
+# in this JAX version
+def augment_batch_pallas(
+    sources: jnp.ndarray,
+    targets: jnp.ndarray,
+    key: jax.Array,
+    prob: float = 0.8,
+    normalize_out: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in fused equivalent of ops.augment.augment_batch.
+
+    Accepts uint8 or float32 (B, 64, 64, 4) batches (uint8 straight from the
+    HBM-resident dataset gather — the upcast happens in VMEM) and returns
+    float32. Identical randomness schedule to augment_batch: same key, same
+    augmentation. With `normalize_out` the [0,255] -> [-1,1] normalize is
+    folded into the kernel's write (exact same formula as ops.image).
+    """
+    b, h, w, c = sources.shape
+    assert (h, w * c) == (H, LANES), (sources.shape, "kernel is 64x64x4-specific")
+    k_choice, k_hue, k_dy, k_dx = jax.random.split(key, 4)
+    choice = jax.random.uniform(k_choice, (b,))
+    delta = jax.random.uniform(
+        k_hue, (b,), minval=-MAX_HUE_DELTA, maxval=MAX_HUE_DELTA
+    )
+    dy = jax.random.uniform(
+        k_dy, (b,), minval=HEIGHT_FACTOR[0], maxval=HEIGHT_FACTOR[1]
+    ) * h
+    dx = jax.random.uniform(
+        k_dx, (b,), minval=WIDTH_FACTOR[0], maxval=WIDTH_FACTOR[1]
+    ) * w
+    sy = jnp.round(dy).astype(jnp.int32)
+    sx = jnp.round(dx).astype(jnp.int32)
+    keep = (choice < prob).astype(jnp.int32)
+
+    block = 8 if b % 8 == 0 else 1
+    flat_s = sources.reshape(b, H, LANES)
+    flat_t = targets.reshape(b, H, LANES)
+    out_shape = jax.ShapeDtypeStruct((b, H, LANES), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b // block,),
+        in_specs=[
+            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+    out_s, out_t = pl.pallas_call(
+        functools.partial(
+            _augment_kernel, block=block, normalize_out=normalize_out
+        ),
+        grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape),
+    )(delta, sy, sx, keep, flat_s, flat_t)
+    return out_s.reshape(b, h, w, c), out_t.reshape(b, h, w, c)

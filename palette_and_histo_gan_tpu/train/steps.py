@@ -96,17 +96,30 @@ def rgba_train_step(
     """One optimization step on a raw [0, 255] RGBA batch (uint8 or float)."""
     rng, k_aug, k_drop = jax.random.split(state.rng, 3)
 
-    # the HBM-resident dataset is uint8 (data/loader.py::prepare_rgba); the
-    # upcast fuses into the gather's consumer
-    source = source.astype(jnp.float32)
-    target = target.astype(jnp.float32)
+    if (
+        config.uses_augmentation
+        and getattr(config, "augment_impl", "xla") == "pallas"
+    ):
+        # fused one-pass kernel; consumes the gathered uint8 batch directly
+        # (the upcast happens in VMEM), emits float32, and folds the
+        # [0,255] -> [-1,1] normalize into its write
+        from ..ops.augment_pallas import augment_batch_pallas
 
-    if config.uses_augmentation:
-        source, target = augment_ops.augment_batch(
-            source, target, k_aug, config.augment_probability
+        source, target = augment_batch_pallas(
+            source, target, k_aug, config.augment_probability,
+            normalize_out=True,
         )
-    source = normalize(source)
-    target = normalize(target)
+    else:
+        # the HBM-resident dataset is uint8 (data/loader.py::prepare_rgba);
+        # the upcast fuses into the gather's consumer
+        source = source.astype(jnp.float32)
+        target = target.astype(jnp.float32)
+        if config.uses_augmentation:
+            source, target = augment_ops.augment_batch(
+                source, target, k_aug, config.augment_probability
+            )
+        source = normalize(source)
+        target = normalize(target)
 
     use_hist = config.model == "histogram"
     if config.histogram_impl == "pallas":
