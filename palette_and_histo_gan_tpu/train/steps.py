@@ -90,16 +90,31 @@ def _optimizer_updates(models: Models, state: TrainState, g_grads, d_grads, rng)
 # ---------------------------------------------------------------------------
 
 
+def _resolve_augment_impl(config: Config) -> str:
+    """config.augment_impl with "auto" resolved at trace time.
+
+    "auto" picks the fused Pallas kernel (ops/augment_pallas.py) on a
+    single-chip TPU — the device-clock A/B winner — and the XLA path
+    elsewhere: Mosaic kernels don't run on CPU, and a pallas_call inside a
+    GSPMD-sharded program is not automatically partitioned over the mesh,
+    so the multi-chip DP chunk keeps the XLA form until a shard_map
+    integration exists.
+    """
+    impl = getattr(config, "augment_impl", "auto")
+    if impl != "auto":
+        return impl
+    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+        return "pallas"
+    return "xla"
+
+
 def rgba_train_step(
     config: Config, models: Models, state: TrainState, source, target
 ):
     """One optimization step on a raw [0, 255] RGBA batch (uint8 or float)."""
     rng, k_aug, k_drop = jax.random.split(state.rng, 3)
 
-    if (
-        config.uses_augmentation
-        and getattr(config, "augment_impl", "xla") == "pallas"
-    ):
+    if config.uses_augmentation and _resolve_augment_impl(config) == "pallas":
         # fused one-pass kernel; consumes the gathered uint8 batch directly
         # (the upcast happens in VMEM), emits float32, and folds the
         # [0,255] -> [-1,1] normalize into its write
