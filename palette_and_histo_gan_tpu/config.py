@@ -123,7 +123,9 @@ class Config:
     histogram_method: str = "inverse-quadratic"
     histogram_sigma: float = 0.02
     # fused-VJP dot structure for the histogram backward: "tri" (one dot per
-    # gradient chain) or "dual" (shared DKV dot) — ops/histogram.py
+    # gradient chain; certified optimum of the 6-structure matrix — see
+    # docs/DESIGN.md round-3 bandwidth accounting), "dual", "tri2",
+    # "tri2b", "tri2c" — ops/histogram.py
     histogram_bwd: str = "tri"
     # XLA compiler options for the train step/chunk jits, applied on TPU
     # only (the CPU XLA rejects TPU-only option names). The scoped-VMEM
@@ -160,11 +162,15 @@ class Config:
 
     # TPU-specific
     compute_dtype: str = "float32"  # "float32" or "bfloat16" for conv compute
-    # transposed-conv lowering: "lax" (flax ConvTranspose; measured faster on
-    # v5e — XLA handles the input dilation well) or "subpixel" (exact
-    # phase-decomposed alternative, kept for comparison; the interleave
-    # shuffles cost more than the dilation saves at these shapes)
-    transpose_impl: str = "lax"
+    # transposed-conv lowering: "lax_flipgrad" (flax ConvTranspose forward;
+    # weight-grad expressed so XLA reverses the (4,4,Cin,Cout) RESULT
+    # instead of the (B,2H,2W,C) cotangent — kills the 524 MB/step
+    # reverse.75-80 round-trips, flagship 49.0 -> 47.2 ms on the device
+    # clock; models/networks.py::_convt_k4s2_flipgrad), "lax" (plain flax
+    # ConvTranspose, identical forward, for lowering comparison), or
+    # "subpixel" (exact phase-decomposed alternative, kept for comparison;
+    # the interleave shuffles cost more than the dilation saves here)
+    transpose_impl: str = "lax_flipgrad"
     data_axis: str = "data"  # DP mesh axis name
     # data parallelism: "auto" builds a mesh over all visible devices when
     # more than one is present (and the batch divides), "on" forces it,

@@ -299,12 +299,170 @@ class SubpixelConvTranspose(nn.Module):
         return out.reshape(b, 2 * h, 2 * w, c)
 
 
+def _convt_k4s2_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """The exact conv flax nn.ConvTranspose(k4, s2, SAME) performs."""
+    return jax.lax.conv_transpose(
+        x,
+        kernel,
+        strides=(2, 2),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def _convt_k4s2_flipgrad(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose k4 s2 SAME whose weight-grad flips the RESULT, not g.
+
+    XLA lowers the weight gradient of an lhs-dilated conv by spatially
+    REVERSING the output cotangent — a materialized (B, 2H, 2W, C) HBM
+    round-trip per UpBlock (~524 MB/step across the six blocks at batch
+    1024; reverse.75-80 in the optimized HLO, ~1.5 ms/step). The same
+    gradient is a plain conv with the roles rearranged,
+
+      dW[kh,kw,i,o] = flip_kh,kw( conv(lhs=g, rhs=x, rhs_dilation=2,
+                                       pad=(1,1), contract over batch) ),
+
+    putting the reversal on the (4, 4, Cin, Cout) result (a few KB) instead
+    of the activation. Forward and input-grad are unchanged. Exactness is
+    pinned in tests/test_networks.py.
+    """
+    return _convt_k4s2_same(x, kernel)
+
+
+def _convt_k4s2_flipgrad_fwd(x, kernel):
+    return _convt_k4s2_same(x, kernel), (x, kernel)
+
+
+def _convt_k4s2_flipgrad_bwd(res, g):
+    x, kernel = res
+    # input grad: the standard path (no reverse is emitted for it)
+    _, vjp_x = jax.vjp(lambda xx: _convt_k4s2_same(xx, kernel), x)
+    (dx,) = vjp_x(g)
+    # weight grad: contract batch via dimension numbers (no materialized
+    # transposes); lhs=g (batch<-C_out, feature<-B), rhs=x (out<-C_in,
+    # contract<-B), output (C_out, kh, kw, C_in)
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(3, 0, 1, 2), rhs_spec=(3, 0, 1, 2), out_spec=(0, 3, 1, 2)
+    )
+    cand = jax.lax.conv_general_dilated(
+        g,
+        x,
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        rhs_dilation=(2, 2),
+        dimension_numbers=dn,
+    )
+    dw = jnp.transpose(jnp.flip(cand, (1, 2)), (1, 2, 3, 0))
+    return dx, dw.astype(kernel.dtype)
+
+
+_convt_k4s2_flipgrad.defvjp(_convt_k4s2_flipgrad_fwd, _convt_k4s2_flipgrad_bwd)
+
+
+class FlipGradConvTranspose(nn.Module):
+    """nn.ConvTranspose(k4, s2, SAME, no bias) with the flip-on-result
+    weight-grad (_convt_k4s2_flipgrad). Same parameter name/shape as
+    nn.ConvTranspose so checkpoints and the TF parity shim are unchanged."""
+
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", conv_init, (4, 4, x.shape[-1], self.filters), jnp.float32
+        )
+        return _convt_k4s2_flipgrad(
+            x.astype(self.dtype), kernel.astype(self.dtype)
+        )
+
+
+def _conv_k4s1_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """The exact conv flax nn.Conv(k4, s1, SAME) performs (sans bias)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def _conv_k4s1_swapgrad(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Conv k4 s1 SAME whose weight-grad swaps the operand roles.
+
+    The standard weight-grad conv makes the cotangent g the conv KERNEL, so
+    the emitter's output-feature dim is C_out — for the narrow heads
+    (36 -> 4, 64 -> 1) that is a degenerate T(4,128)/T(1,128) emitter that
+    never reaches the MXU densely (~1.8 + 0.8 ms/step at batch 1024; the
+    dup8 A/B proved padding C_out doesn't fix it). Swapping the roles —
+    g as conv LHS (contracting batch as its feature dim), x as the kernel —
+    makes C_in (36/64, lane-wide) the emitter's feature dim and C_out the
+    conv batch dim, with the spatial flip landing on the (4, 4) RESULT:
+
+      dW[kh,kw,i,o] = flip_kh,kw( conv(lhs=g, rhs=x, pad=(2,1),
+                                       contract over batch) )
+
+    Forward and input-grad are unchanged. Exactness pinned in
+    tests/test_networks.py.
+    """
+    return _conv_k4s1_same(x, kernel)
+
+
+def _conv_k4s1_swapgrad_fwd(x, kernel):
+    return _conv_k4s1_same(x, kernel), (x, kernel)
+
+
+def _conv_k4s1_swapgrad_bwd(res, g):
+    x, kernel = res
+    _, vjp_x = jax.vjp(lambda xx: _conv_k4s1_same(xx, kernel), x)
+    (dx,) = vjp_x(g)
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(3, 0, 1, 2), rhs_spec=(3, 0, 1, 2), out_spec=(0, 3, 1, 2)
+    )
+    cand = jax.lax.conv_general_dilated(
+        g,
+        x,
+        window_strides=(1, 1),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=dn,
+    )
+    dw = jnp.transpose(jnp.flip(cand, (1, 2)), (1, 2, 3, 0))
+    return dx, dw.astype(kernel.dtype)
+
+
+_conv_k4s1_swapgrad.defvjp(_conv_k4s1_swapgrad_fwd, _conv_k4s1_swapgrad_bwd)
+
+
+class SwapGradConv(nn.Module):
+    """nn.Conv(k4, s1, SAME, bias) with the swapped-operand weight-grad
+    (_conv_k4s1_swapgrad). Same param names/shapes as nn.Conv."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", conv_init, (4, 4, x.shape[-1], self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        y = _conv_k4s1_swapgrad(x.astype(self.dtype), kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class UpBlock(nn.Module):
     """ConvTranspose k4 s2 -> InstanceNorm -> [Dropout 0.5] -> ReLU
     (networks.py:24-36).
 
-    transpose_impl: "subpixel" (default; phase-decomposed, MXU-dense) or
-    "lax" (flax ConvTranspose, for reference-lowering comparison).
+    transpose_impl: "subpixel" (default; phase-decomposed, MXU-dense),
+    "lax" (flax ConvTranspose, for reference-lowering comparison), or
+    "lax_flipgrad" (same forward, weight-grad reverse moved off the
+    activation — see _convt_k4s2_flipgrad).
     """
 
     filters: int
@@ -316,6 +474,10 @@ class UpBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
         if self.transpose_impl == "subpixel":
             x = SubpixelConvTranspose(self.filters, dtype=self.dtype)(x)
+        elif self.transpose_impl == "lax_flipgrad":
+            x = FlipGradConvTranspose(
+                self.filters, dtype=self.dtype, name="ConvTranspose_0"
+            )(x)
         else:
             x = nn.ConvTranspose(
                 self.filters,
@@ -373,6 +535,12 @@ class UnetGenerator(nn.Module):
             x = DupOutConv(
                 self.output_channels, dtype=self.dtype, name="Conv_0"
             )(x)
+        elif self.head_conv == "swapgrad" and self.output_channels <= 8:
+            # narrow heads only: the swap makes C_in the emitter's feature
+            # dim, which would SHRINK it for the indexed 33 -> 256 head
+            x = SwapGradConv(
+                self.output_channels, dtype=self.dtype, name="Conv_0"
+            )(x)
         else:
             x = nn.Conv(
                 self.output_channels,
@@ -424,6 +592,8 @@ class PatchDiscriminator(nn.Module):
         # narrow 64 -> 1 head by default: see the UnetGenerator head note
         if self.head_conv == "dup8":
             x = DupOutConv(1, dtype=self.dtype, name="Conv_0")(x)
+        elif self.head_conv == "swapgrad":
+            x = SwapGradConv(1, dtype=self.dtype, name="Conv_0")(x)
         else:
             x = nn.Conv(
                 1,

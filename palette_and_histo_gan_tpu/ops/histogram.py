@@ -249,6 +249,200 @@ def _histogram_core_dual_bwd(size, method, sigma, dtype, flat01, g):
 _histogram_core_dual.defvjp(_histogram_core_fwd, _histogram_core_dual_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _histogram_core_tri2(flat01, size, method, sigma, dtype):
+    """Two-dot backward exploiting dkv = iy * m1 (A/B alternative).
+
+    The tri backward's third dot is algebraically redundant: iy does not
+    depend on the contraction index, so
+
+      DKV[p,j] = sum_i (iy[p] Ku[p,i]) G[i,j] = iy[p] * (Ku @ G)[p,j]
+               = iy[p] * M1[p,j]
+
+    — the iv chain's dot IS the iy chain's dot, row-scaled. This variant
+    drops it (9 dots -> 6 across the three channels) and reduces M1 against
+    the STACKED weights [Kv; K'v] in a single sum (one consumer, so the
+    dot+reduce output fusion is preserved, unlike "dual" whose shared dot
+    gains a second reduce consumer and materializes the 537 MB operand).
+    Kv and K'v share their x/d subexpressions inside the one epilogue.
+    Selected by `calculate_rgbuv_histogram(..., bwd="tri2")`."""
+    return _unnormalized_histograms(flat01, size, method, sigma, dtype)
+
+
+def _histogram_core_tri2_bwd(size, method, sigma, dtype, flat01, g):
+    epsilon = EPSILON
+    sigma_sqr = sigma**2
+    domain = jnp.linspace(-3.0, 3.0, num=size)[None, :].astype(dtype)
+    iy32 = jnp.sqrt(jnp.sum(jnp.square(flat01), axis=-1) + epsilon)  # (B, HW)
+    logs = jnp.log(flat01 + epsilon)
+    comps = (logs[..., 0], logs[..., 1], logs[..., 2])
+    g = g.astype(dtype)
+
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    mm = partial(jnp.einsum, precision=precision)
+
+    d_log = [None, None, None]
+    d_iy = None
+
+    def acc(a, b):
+        return b if a is None else a + b
+
+    for ch, (c, p1, p2) in enumerate(_CHANNEL_TRIPLES):
+        iu = comps[c] - comps[p1]
+        iv = comps[c] - comps[p2]
+        ku, su = _kernel_and_slope(iu, domain, method, sigma_sqr, dtype)
+        kv, sv = _kernel_and_slope(iv, domain, method, sigma_sqr, dtype)
+        gc = g[..., ch]
+        m1 = mm("bpi,bij->bpj", ku, gc)  # iy + iv chains (dkv = iy * m1)
+        da = mm("bpj,bij->bpi", kv, gc)  # iu chain
+        w = jnp.stack([kv, sv], axis=-1)  # (B, HW, size, 2)
+        s_yv = jnp.sum(m1[..., None] * w, axis=2).astype(jnp.float32)
+        s_u = jnp.sum(da * su, axis=-1).astype(jnp.float32)
+        d_iu = iy32 * s_u
+        d_iv = iy32 * s_yv[..., 1]  # iy factored out of the dropped dot
+        d_iy = acc(d_iy, s_yv[..., 0])
+        d_log[c] = acc(d_log[c], d_iu + d_iv)
+        d_log[p1] = acc(d_log[p1], -d_iu)
+        d_log[p2] = acc(d_log[p2], -d_iv)
+
+    d_flat = (
+        jnp.stack(d_log, axis=-1) / (flat01 + epsilon)
+        + (d_iy / iy32)[..., None] * flat01
+    )
+    return (d_flat,)
+
+
+_histogram_core_tri2.defvjp(_histogram_core_fwd, _histogram_core_tri2_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _histogram_core_tri2b(flat01, size, method, sigma, dtype):
+    """tri2 with two plain reduces of M1 instead of the stacked-weights sum.
+
+    Same 6-dot algebra as tri2, but leaves M1 with two separate reduce
+    consumers and lets XLA's multi-output fuser decide — measures whether
+    the stack layout or the sibling fusion is the better structure.
+    Selected by `calculate_rgbuv_histogram(..., bwd="tri2b")`."""
+    return _unnormalized_histograms(flat01, size, method, sigma, dtype)
+
+
+def _histogram_core_tri2b_bwd(size, method, sigma, dtype, flat01, g):
+    epsilon = EPSILON
+    sigma_sqr = sigma**2
+    domain = jnp.linspace(-3.0, 3.0, num=size)[None, :].astype(dtype)
+    iy32 = jnp.sqrt(jnp.sum(jnp.square(flat01), axis=-1) + epsilon)
+    logs = jnp.log(flat01 + epsilon)
+    comps = (logs[..., 0], logs[..., 1], logs[..., 2])
+    g = g.astype(dtype)
+
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    mm = partial(jnp.einsum, precision=precision)
+
+    d_log = [None, None, None]
+    d_iy = None
+
+    def acc(a, b):
+        return b if a is None else a + b
+
+    for ch, (c, p1, p2) in enumerate(_CHANNEL_TRIPLES):
+        iu = comps[c] - comps[p1]
+        iv = comps[c] - comps[p2]
+        ku, su = _kernel_and_slope(iu, domain, method, sigma_sqr, dtype)
+        kv, sv = _kernel_and_slope(iv, domain, method, sigma_sqr, dtype)
+        gc = g[..., ch]
+        m1 = mm("bpi,bij->bpj", ku, gc)
+        da = mm("bpj,bij->bpi", kv, gc)
+        s_y = jnp.sum(m1 * kv, axis=-1).astype(jnp.float32)
+        s_vr = jnp.sum(m1 * sv, axis=-1).astype(jnp.float32)
+        s_u = jnp.sum(da * su, axis=-1).astype(jnp.float32)
+        d_iu = iy32 * s_u
+        d_iv = iy32 * s_vr
+        d_iy = acc(d_iy, s_y)
+        d_log[c] = acc(d_log[c], d_iu + d_iv)
+        d_log[p1] = acc(d_log[p1], -d_iu)
+        d_log[p2] = acc(d_log[p2], -d_iv)
+
+    d_flat = (
+        jnp.stack(d_log, axis=-1) / (flat01 + epsilon)
+        + (d_iy / iy32)[..., None] * flat01
+    )
+    return (d_flat,)
+
+
+_histogram_core_tri2b.defvjp(_histogram_core_fwd, _histogram_core_tri2b_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _histogram_core_tri2c(flat01, size, method, sigma, dtype):
+    """tri2 with the two weight planes concatenated on the BIN axis.
+
+    Same 6-dot algebra as tri2 (dkv = iy * m1), but the double reduce of M1
+    is expressed as ONE consumer chain that keeps full (128-wide) lanes:
+    concat([Kv, K'v]) and [M1, M1] on the bin axis -> elementwise multiply
+    -> reshape (B, HW, 2, size) -> reduce the bin axis. A single consumer
+    preserves the dot+reduce output fusion (unlike tri2b) without the
+    minor-dim-2 layout of tri2's stack. Selected by bwd="tri2c"."""
+    return _unnormalized_histograms(flat01, size, method, sigma, dtype)
+
+
+def _histogram_core_tri2c_bwd(size, method, sigma, dtype, flat01, g):
+    epsilon = EPSILON
+    sigma_sqr = sigma**2
+    domain = jnp.linspace(-3.0, 3.0, num=size)[None, :].astype(dtype)
+    iy32 = jnp.sqrt(jnp.sum(jnp.square(flat01), axis=-1) + epsilon)
+    logs = jnp.log(flat01 + epsilon)
+    comps = (logs[..., 0], logs[..., 1], logs[..., 2])
+    g = g.astype(dtype)
+    b, hw = iy32.shape
+
+    precision = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    mm = partial(jnp.einsum, precision=precision)
+
+    d_log = [None, None, None]
+    d_iy = None
+
+    def acc(a, b):
+        return b if a is None else a + b
+
+    for ch, (c, p1, p2) in enumerate(_CHANNEL_TRIPLES):
+        iu = comps[c] - comps[p1]
+        iv = comps[c] - comps[p2]
+        ku, su = _kernel_and_slope(iu, domain, method, sigma_sqr, dtype)
+        kv, sv = _kernel_and_slope(iv, domain, method, sigma_sqr, dtype)
+        gc = g[..., ch]
+        m1 = mm("bpi,bij->bpj", ku, gc)
+        da = mm("bpj,bij->bpi", kv, gc)
+        w = jnp.concatenate([kv, sv], axis=-1)  # (B, HW, 2*size)
+        m2 = jnp.concatenate([m1, m1], axis=-1)
+        s = jnp.sum(
+            (m2 * w).reshape(b, hw, 2, size), axis=-1
+        ).astype(jnp.float32)  # (B, HW, 2): [:, :, 0]=iy chain, 1=iv chain
+        s_u = jnp.sum(da * su, axis=-1).astype(jnp.float32)
+        d_iu = iy32 * s_u
+        d_iv = iy32 * s[..., 1]
+        d_iy = acc(d_iy, s[..., 0])
+        d_log[c] = acc(d_log[c], d_iu + d_iv)
+        d_log[p1] = acc(d_log[p1], -d_iu)
+        d_log[p2] = acc(d_log[p2], -d_iv)
+
+    d_flat = (
+        jnp.stack(d_log, axis=-1) / (flat01 + epsilon)
+        + (d_iy / iy32)[..., None] * flat01
+    )
+    return (d_flat,)
+
+
+_histogram_core_tri2c.defvjp(_histogram_core_fwd, _histogram_core_tri2c_bwd)
+
+_BWD_CORES = {
+    "tri": _histogram_core,
+    "dual": _histogram_core_dual,
+    "tri2": _histogram_core_tri2,
+    "tri2b": _histogram_core_tri2b,
+    "tri2c": _histogram_core_tri2c,
+}
+
+
 def calculate_rgbuv_histogram(
     image_batch: jnp.ndarray,
     size: int = 64,
@@ -267,8 +461,9 @@ def calculate_rgbuv_histogram(
     hand-structured backward of `_histogram_core` (forward values are
     IDENTICAL — same code path; only the gradient structure differs);
     False falls back to plain autodiff, kept for parity tests. `bwd`
-    selects the fused backward's dot structure: "tri" (one dot per chain)
-    or "dual" (shared DKV dot, see _histogram_core_dual).
+    selects the fused backward's dot structure: "tri" (one dot per chain),
+    "dual" (shared DKV dot, see _histogram_core_dual), or "tri2"/"tri2b"
+    (dkv = iy * m1 identity, 6 dots, see _histogram_core_tri2).
     """
     image_batch = image_batch * 0.5 + 0.5  # [-1,1] -> [0,1]
     image_batch = image_batch[..., :3]  # drop alpha
@@ -276,7 +471,7 @@ def calculate_rgbuv_histogram(
     flat = jnp.reshape(image_batch, (b, -1, 3))  # (B, HW, 3)
 
     if fused_vjp:
-        core = _histogram_core_dual if bwd == "dual" else _histogram_core
+        core = _BWD_CORES[bwd]
         histograms = core(flat, size, method, sigma, jnp.dtype(dtype))
     else:
         histograms = _unnormalized_histograms(flat, size, method, sigma, dtype)

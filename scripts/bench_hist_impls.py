@@ -95,17 +95,26 @@ def main():
 
     grad_v2 = jax.jit(jax.grad(loss_v2))
 
-    def loss_dual(x):
-        h = H.calculate_rgbuv_histogram(x, dtype=jnp.bfloat16, bwd="dual")
-        ht = H.calculate_rgbuv_histogram(tgt, dtype=jnp.bfloat16, bwd="dual")
-        return H.hellinger_loss(ht, h)
+    def make_loss(bwd):
+        def loss(x):
+            h = H.calculate_rgbuv_histogram(x, dtype=jnp.bfloat16, bwd=bwd)
+            ht = H.calculate_rgbuv_histogram(tgt, dtype=jnp.bfloat16, bwd=bwd)
+            return H.hellinger_loss(ht, h)
 
-    grad_dual = jax.jit(jax.grad(loss_dual))
+        return loss
+
+    grad_dual = jax.jit(jax.grad(make_loss("dual")))
+    grad_tri2 = jax.jit(jax.grad(make_loss("tri2")))
+    grad_tri2b = jax.jit(jax.grad(make_loss("tri2b")))
+    grad_tri2c = jax.jit(jax.grad(make_loss("tri2c")))
 
     ref_g = None
     for name, fn in [
         ("xla_fwd_bwd_bf16", grad_bf16),
         ("xla_fwd_bwd_bf16_dual", grad_dual),
+        ("xla_fwd_bwd_bf16_tri2", grad_tri2),
+        ("xla_fwd_bwd_bf16_tri2b", grad_tri2b),
+        ("xla_fwd_bwd_bf16_tri2c", grad_tri2c),
         ("pallas_v2_fwd_bwd", grad_v2),
     ]:
         try:

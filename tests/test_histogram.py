@@ -98,6 +98,33 @@ def test_histogram_jit_compiles():
     assert h.shape == (2, 64, 64, 3)
 
 
+@pytest.mark.parametrize("bwd", ["tri", "dual", "tri2", "tri2b"])
+def test_bwd_variants_match_autodiff(bwd):
+    """Every selectable backward dot structure (tri / dual / tri2 / tri2b)
+    computes the same gradient as plain autodiff; they differ only in how
+    many cotangent dots XLA sees and who consumes them (see
+    _histogram_core{,_dual,_tri2} docstrings)."""
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
+    tgt = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
+
+    def loss(x, fused):
+        kw = dict(size=16, dtype=jnp.float32, fused_vjp=fused)
+        if fused:
+            kw["bwd"] = bwd
+        h = hist_ops.calculate_rgbuv_histogram(x, **kw)
+        ht = hist_ops.calculate_rgbuv_histogram(tgt, **kw)
+        return hist_ops.hellinger_loss(ht, h)
+
+    assert float(loss(img, True)) == float(loss(img, False))
+    g_v = jax.grad(lambda x: loss(x, True))(img)
+    g_auto = jax.grad(lambda x: loss(x, False))(img)
+    scale = float(jnp.abs(g_auto).max())
+    np.testing.assert_allclose(
+        np.asarray(g_v), np.asarray(g_auto), atol=1e-5 * scale
+    )
+
+
 @pytest.mark.parametrize("method", ["inverse-quadratic", "RBF"])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_fused_vjp_matches_autodiff(method, dtype):

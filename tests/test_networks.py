@@ -160,3 +160,63 @@ def test_discriminator_input_split_matches_concat():
     g2 = jax.grad(lambda p: jnp.sum(jnp.sin(split.apply(p, t, s))))(params)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_flipgrad_convtranspose_matches_lax():
+    """transpose_impl="lax_flipgrad" (weight-grad reverse moved onto the
+    (4,4,Cin,Cout) result instead of the (B,2H,2W,C) cotangent — see
+    models/networks.py::_convt_k4s2_flipgrad) is the identical forward and
+    the same gradients as flax nn.ConvTranspose, on the same param tree."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 4)), jnp.float32)
+    net_lax = UnetGenerator(transpose_impl="lax")
+    net_fg = UnetGenerator(transpose_impl="lax_flipgrad")
+    params = net_lax.init(jax.random.PRNGKey(0), x, deterministic=True)
+    # identical param tree (names/shapes), so checkpoints interchange
+    assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+        jnp.shape, net_fg.init(jax.random.PRNGKey(1), x, deterministic=True)
+    )
+    y1 = net_lax.apply(params, x, deterministic=True)
+    y2 = net_fg.apply(params, x, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+    def loss(p, net):
+        return jnp.sum(jnp.square(net.apply(p, x, deterministic=True)))
+
+    g1 = jax.grad(loss)(params, net_lax)
+    g2 = jax.grad(loss)(params, net_fg)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        scale = float(jnp.abs(a).max()) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=3e-5 * scale
+        )
+
+
+def test_swapgrad_head_matches_plain_conv():
+    """head_conv="swapgrad" (weight-grad operand roles swapped so the wide
+    input-channel dim drives the emitter — see
+    models/networks.py::_conv_k4s1_swapgrad) equals plain nn.Conv on the
+    same params, values and gradients, for both head shapes (36->4, 64->1)."""
+    from palette_and_histo_gan_tpu.models.networks import SwapGradConv, conv_init
+    import flax.linen as nn
+
+    rng = np.random.default_rng(9)
+    for cin, feats in [(36, 4), (64, 1)]:
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, cin)), jnp.float32)
+        plain = nn.Conv(
+            feats, kernel_size=(4, 4), padding="SAME", use_bias=True,
+            kernel_init=conv_init,
+        )
+        swap = SwapGradConv(feats)
+        params = plain.init(jax.random.PRNGKey(1), x)
+        assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+            jnp.shape, swap.init(jax.random.PRNGKey(2), x)
+        )
+        y1, y2 = plain.apply(params, x), swap.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+        g1 = jax.grad(lambda p: jnp.sum(jnp.sin(plain.apply(p, x))))(params)
+        g2 = jax.grad(lambda p: jnp.sum(jnp.sin(swap.apply(p, x))))(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-4
+            )
