@@ -135,9 +135,13 @@ class Config:
     # window lets the compiler keep conv/fusion operands VMEM-resident
     # without starving prefetch double-buffering.
     xla_compiler_options: tuple = (("xla_tpu_scoped_vmem_limit_kib", "40960"),)
-    # narrow conv heads: "narrow" (plain nn.Conv) or "dup8" (channel
-    # duplication, models/networks.py::DupOutConv) — device-clock A/B
-    head_conv: str = "narrow"
+    # narrow conv heads: "swapgrad" (weight-grad operand roles swapped so
+    # the wide C_in drives the emitter instead of the narrow C_out;
+    # device clock 47.2 -> 45.4 ms on the flagship; applies only when
+    # C_out <= 8, so the indexed 256-wide G head keeps the standard grad),
+    # "narrow" (plain nn.Conv), or "dup8" (channel duplication,
+    # models/networks.py::DupOutConv; measured negative)
+    head_conv: str = "swapgrad"
     # discriminator first conv: split-concat form (networks.py::
     # _SplitConcatConv) that lets XLA CSE the shared source-half conv
     d_input_split: bool = False

@@ -530,7 +530,10 @@ class UnetGenerator(nn.Module):
         # NOTE: the narrow (36 -> 4) head's weight-grad conv runs a degenerate
         # T(4,128) emitter (~1.8 ms/step at batch 1024). Lane-padding behind
         # barriers (PaddedOutConv) measured 11% slower; channel DUPLICATION
-        # (DupOutConv, no barriers) is the head_conv="dup8" alternative.
+        # (DupOutConv, "dup8") fixed nothing (the cost is layout-independent
+        # for g-as-kernel weight grads). The adopted fix is "swapgrad":
+        # swap the weight-grad conv's operand roles so wide C_in drives the
+        # emitter (SwapGradConv; flagship 47.2 -> 45.4 ms device clock).
         if self.head_conv == "dup8" and self.output_channels < 8:
             x = DupOutConv(
                 self.output_channels, dtype=self.dtype, name="Conv_0"
