@@ -123,9 +123,10 @@ class Config:
     histogram_method: str = "inverse-quadratic"
     histogram_sigma: float = 0.02
     # fused-VJP dot structure for the histogram backward: "tri" (one dot per
-    # gradient chain; certified optimum of the 6-structure matrix — see
+    # gradient chain; certified optimum of the 6-structure XLA matrix — see
     # docs/DESIGN.md round-3 bandwidth accounting), "dual", "tri2",
-    # "tri2b", "tri2c" — ops/histogram.py
+    # "tri2b", "tri2c" (ops/histogram.py), or "pallas" (XLA forward +
+    # blocked single-pass Mosaic backward, ops/histogram_pallas3.py)
     histogram_bwd: str = "tri"
     # XLA compiler options for the train step/chunk jits, applied on TPU
     # only (the CPU XLA rejects TPU-only option names). The scoped-VMEM

@@ -434,12 +434,41 @@ def _histogram_core_tri2c_bwd(size, method, sigma, dtype, flat01, g):
 
 _histogram_core_tri2c.defvjp(_histogram_core_fwd, _histogram_core_tri2c_bwd)
 
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _histogram_core_pallas_bwd(flat01, size, method, sigma, dtype):
+    """XLA forward + blocked Pallas single-pass backward (A/B alternative).
+
+    The forward is the identical `_unnormalized_histograms` chain (XLA is
+    already at its floor there); only the gradient swaps in the Mosaic
+    kernel of `histogram_pallas3.py`, which builds each (size, HW) kernel/
+    slope matrix ONCE per (image, channel) and evaluates all three chains
+    in a single VMEM pass (~20 VPU ops/element vs the ~37 the tri
+    backward's three separate fusions spend on in-fusion rebuilds — see
+    docs/DESIGN.md bandwidth accounting). Selected by
+    `calculate_rgbuv_histogram(..., bwd="pallas")`."""
+    return _unnormalized_histograms(flat01, size, method, sigma, dtype)
+
+
+def _histogram_core_pallas_bwd_bwd(size, method, sigma, dtype, flat01, g):
+    from .histogram_pallas3 import backward_unnormalized_pallas3
+
+    return (
+        backward_unnormalized_pallas3(
+            flat01, g, size, method, sigma, dtype=dtype
+        ),
+    )
+
+
+_histogram_core_pallas_bwd.defvjp(_histogram_core_fwd, _histogram_core_pallas_bwd_bwd)
+
 _BWD_CORES = {
     "tri": _histogram_core,
     "dual": _histogram_core_dual,
     "tri2": _histogram_core_tri2,
     "tri2b": _histogram_core_tri2b,
     "tri2c": _histogram_core_tri2c,
+    "pallas": _histogram_core_pallas_bwd,
 }
 
 

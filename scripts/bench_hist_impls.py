@@ -107,6 +107,7 @@ def main():
     grad_tri2 = jax.jit(jax.grad(make_loss("tri2")))
     grad_tri2b = jax.jit(jax.grad(make_loss("tri2b")))
     grad_tri2c = jax.jit(jax.grad(make_loss("tri2c")))
+    grad_pallas3 = jax.jit(jax.grad(make_loss("pallas")))
 
     ref_g = None
     for name, fn in [
@@ -115,6 +116,7 @@ def main():
         ("xla_fwd_bwd_bf16_tri2", grad_tri2),
         ("xla_fwd_bwd_bf16_tri2b", grad_tri2b),
         ("xla_fwd_bwd_bf16_tri2c", grad_tri2c),
+        ("xla_fwd_pallas3_bwd_bf16", grad_pallas3),
         ("pallas_v2_fwd_bwd", grad_v2),
     ]:
         try:

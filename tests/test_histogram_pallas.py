@@ -121,3 +121,61 @@ def test_v2_gradient_parity(method):
         np.asarray(g_pl), np.asarray(g_ref), atol=3e-4 * scale
     )
     assert float(jnp.abs(g_pl[..., 3]).max()) == 0.0  # alpha never contributes
+
+
+# ---------------------------------------------------------------------------
+# v3 backward (histogram_pallas3: blocked single-pass-per-channel, selected
+# through calculate_rgbuv_histogram(..., bwd="pallas"))
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("method", ["inverse-quadratic", "RBF"])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_v3_backward_parity(method, dtype):
+    """bwd='pallas' gradients match the tri backward (forward is shared code)."""
+    rng = np.random.default_rng(4)
+    batch = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 8, 8, 4)), jnp.float32)
+    target = jnp.asarray(rng.uniform(-0.9, 0.9, (4, 8, 8, 4)), jnp.float32)
+
+    def make_loss(bwd):
+        def loss(x):
+            h = hist_ref.calculate_rgbuv_histogram(
+                x, size=16, method=method, dtype=dtype, bwd=bwd
+            )
+            t = hist_ref.calculate_rgbuv_histogram(
+                target, size=16, method=method, dtype=dtype, bwd=bwd
+            )
+            return hist_ref.hellinger_loss(t, h)
+
+        return loss
+
+    g_ref = jax.grad(make_loss("tri"))(batch)
+    g_pl = jax.grad(make_loss("pallas"))(batch)
+    scale = float(jnp.abs(g_ref).max())
+    tol = 1e-4 if dtype == jnp.float32 else 6e-3  # bf16 reduction-order
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_ref), atol=tol * scale
+    )
+    assert float(jnp.abs(g_pl[..., 3]).max()) == 0.0
+
+
+def test_v3_backward_parity_odd_batch():
+    """Non-multiple-of-8 batches fall back to block=1 and stay exact."""
+    rng = np.random.default_rng(5)
+    batch = jnp.asarray(rng.uniform(-0.9, 0.9, (3, 8, 8, 4)), jnp.float32)
+    target = jnp.asarray(rng.uniform(-0.9, 0.9, (3, 8, 8, 4)), jnp.float32)
+
+    def make_loss(bwd):
+        def loss(x):
+            h = hist_ref.calculate_rgbuv_histogram(x, size=16, bwd=bwd)
+            t = hist_ref.calculate_rgbuv_histogram(target, size=16, bwd=bwd)
+            return hist_ref.hellinger_loss(t, h)
+
+        return loss
+
+    g_ref = jax.grad(make_loss("tri"))(batch)
+    g_pl = jax.grad(make_loss("pallas"))(batch)
+    scale = float(jnp.abs(g_ref).max())
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_ref), atol=1e-4 * scale
+    )
