@@ -87,8 +87,17 @@ def _bwd3_kernel(
             d2u = xu * xu * inv_s
             d2v = xv * xv * inv_s
             if method == "inverse-quadratic":
-                ku = 1.0 / (1.0 + d2u)
-                kv = 1.0 / (1.0 + d2v)
+                # full-rate approximate reciprocal on the bf16 chain: its
+                # ~2^-12 relative error sits below bf16's own 2^-8 rounding,
+                # so gradient parity vs the XLA tri backward is unchanged
+                # (pinned in tests); exact divide on the f32 parity path
+                approx = jnp.dtype(dtype) == jnp.bfloat16
+                ku = pl.reciprocal(
+                    (1.0 + d2u).astype(jnp.float32), approx=approx
+                ).astype(dtype)
+                kv = pl.reciprocal(
+                    (1.0 + d2v).astype(jnp.float32), approx=approx
+                ).astype(dtype)
                 # slope/k = -k * (2/s^2) x  (one extra k factor below)
                 su_w = ku * (ku * xu)  # = k^2 x ; scaled by -2/s^2 after reduce
                 sv_w = kv * (kv * xv)
@@ -101,6 +110,8 @@ def _bwd3_kernel(
                 raise ValueError(f"unknown histogram method {method!r}")
 
             gc = g_ref[j, ch, :, :].astype(dtype)  # (size, size)
+            # f32 accumulators are mandatory for tpu.matmul (a bf16
+            # preferred_element_type fails Mosaic verification)
             # m1[j, p] = sum_i gc[i, j] ku[i, p]
             m1 = jax.lax.dot_general(
                 gc, ku,
