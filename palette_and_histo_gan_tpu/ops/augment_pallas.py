@@ -139,6 +139,55 @@ def _augment_kernel(
             out_ref[j] = out
 
 
+def _draw_params(key: jax.Array, b: int, prob: float):
+    """Per-image augmentation draws — the exact key schedule of
+    ops.augment.augment_batch, so both implementations compute the same
+    augmentation for the same key. Kept separate from the kernel call so the
+    sharded variant can draw globally and shard the vectors."""
+    k_choice, k_hue, k_dy, k_dx = jax.random.split(key, 4)
+    choice = jax.random.uniform(k_choice, (b,))
+    delta = jax.random.uniform(
+        k_hue, (b,), minval=-MAX_HUE_DELTA, maxval=MAX_HUE_DELTA
+    )
+    dy = jax.random.uniform(
+        k_dy, (b,), minval=HEIGHT_FACTOR[0], maxval=HEIGHT_FACTOR[1]
+    ) * H
+    dx = jax.random.uniform(
+        k_dx, (b,), minval=WIDTH_FACTOR[0], maxval=WIDTH_FACTOR[1]
+    ) * (LANES // CH)
+    sy = jnp.round(dy).astype(jnp.int32)
+    sx = jnp.round(dx).astype(jnp.int32)
+    keep = (choice < prob).astype(jnp.int32)
+    return delta, sy, sx, keep
+
+
+def _call_kernel(delta, sy, sx, keep, flat_s, flat_t, *, normalize_out):
+    """The pallas_call itself over (b, H, LANES) inputs. Per-image, so it
+    computes identical values whether it sees the full batch or a shard."""
+    b = flat_s.shape[0]
+    block = 8 if b % 8 == 0 else 1
+    out_shape = jax.ShapeDtypeStruct((b, H, LANES), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(b // block,),
+        in_specs=[
+            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _augment_kernel, block=block, normalize_out=normalize_out
+        ),
+        grid_spec=grid_spec,
+        out_shape=(out_shape, out_shape),
+    )(delta, sy, sx, keep, flat_s, flat_t)
+
+
 # NOT jitted here: the caller (train step) is always jitted, and a nested
 # jit's closed_call inside the scanned step trips a cached-lowering KeyError
 # in this JAX version
@@ -159,42 +208,50 @@ def augment_batch_pallas(
     """
     b, h, w, c = sources.shape
     assert (h, w * c) == (H, LANES), (sources.shape, "kernel is 64x64x4-specific")
-    k_choice, k_hue, k_dy, k_dx = jax.random.split(key, 4)
-    choice = jax.random.uniform(k_choice, (b,))
-    delta = jax.random.uniform(
-        k_hue, (b,), minval=-MAX_HUE_DELTA, maxval=MAX_HUE_DELTA
+    delta, sy, sx, keep = _draw_params(key, b, prob)
+    out_s, out_t = _call_kernel(
+        delta, sy, sx, keep,
+        sources.reshape(b, H, LANES), targets.reshape(b, H, LANES),
+        normalize_out=normalize_out,
     )
-    dy = jax.random.uniform(
-        k_dy, (b,), minval=HEIGHT_FACTOR[0], maxval=HEIGHT_FACTOR[1]
-    ) * h
-    dx = jax.random.uniform(
-        k_dx, (b,), minval=WIDTH_FACTOR[0], maxval=WIDTH_FACTOR[1]
-    ) * w
-    sy = jnp.round(dy).astype(jnp.int32)
-    sx = jnp.round(dx).astype(jnp.int32)
-    keep = (choice < prob).astype(jnp.int32)
+    return out_s.reshape(b, h, w, c), out_t.reshape(b, h, w, c)
 
-    block = 8 if b % 8 == 0 else 1
-    flat_s = sources.reshape(b, H, LANES)
-    flat_t = targets.reshape(b, H, LANES)
-    out_shape = jax.ShapeDtypeStruct((b, H, LANES), jnp.float32)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(b // block,),
-        in_specs=[
-            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((block, H, LANES), lambda i, *_: (i, 0, 0)),
-        ],
+
+def augment_batch_pallas_sharded(
+    sources: jnp.ndarray,
+    targets: jnp.ndarray,
+    key: jax.Array,
+    prob: float = 0.8,
+    normalize_out: bool = False,
+    *,
+    mesh,
+    axis: str = "data",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """augment_batch_pallas under a GSPMD mesh: a pallas_call is not
+    automatically partitioned, so the kernel runs inside shard_map over the
+    batch axis — each device augments its local shard with its slice of the
+    globally-drawn parameter vectors. Bit-identical to the unsharded call:
+    the draws are computed once outside (counter-mode PRNG, same key
+    schedule) and the kernel is per-image.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    b, h, w, c = sources.shape
+    assert (h, w * c) == (H, LANES), (sources.shape, "kernel is 64x64x4-specific")
+    delta, sy, sx, keep = _draw_params(key, b, prob)
+    spec = P(axis)
+    fn = jax.shard_map(
+        functools.partial(_call_kernel, normalize_out=normalize_out),
+        mesh=mesh,
+        in_specs=(spec,) * 6,
+        out_specs=(spec, spec),
+        # pallas_call's out ShapeDtypeStruct carries no varying-mesh-axes
+        # info, which the vma checker requires; every operand here is
+        # uniformly batch-sharded so the check adds nothing
+        check_vma=False,
     )
-    out_s, out_t = pl.pallas_call(
-        functools.partial(
-            _augment_kernel, block=block, normalize_out=normalize_out
-        ),
-        grid_spec=grid_spec,
-        out_shape=(out_shape, out_shape),
-    )(delta, sy, sx, keep, flat_s, flat_t)
+    out_s, out_t = fn(
+        delta, sy, sx, keep,
+        sources.reshape(b, H, LANES), targets.reshape(b, H, LANES),
+    )
     return out_s.reshape(b, h, w, c), out_t.reshape(b, h, w, c)

@@ -45,7 +45,9 @@ def make_dp_train_step(
     if config.is_indexed:
         fn = partial(indexed_train_step, config, models)
     else:
-        fn = partial(rgba_train_step, config, models)
+        # mesh bound statically: switches the Pallas augmentation (when
+        # selected) to its shard_map form, which GSPMD can't partition itself
+        fn = partial(rgba_train_step, config, models, mesh=mesh)
 
     data_sh = batch_sharding(mesh, config.data_axis)
     repl = replicated(mesh)
@@ -82,7 +84,7 @@ def make_dp_train_chunk(
     step_fn = (
         _partial(indexed_train_step, config, models)
         if config.is_indexed
-        else _partial(rgba_train_step, config, models)
+        else _partial(rgba_train_step, config, models, mesh=mesh)
     )
     data_sh = batch_sharding(mesh, config.data_axis)
 

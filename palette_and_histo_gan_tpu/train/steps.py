@@ -90,40 +90,57 @@ def _optimizer_updates(models: Models, state: TrainState, g_grads, d_grads, rng)
 # ---------------------------------------------------------------------------
 
 
-def _resolve_augment_impl(config: Config) -> str:
+def _resolve_augment_impl(config: Config, mesh=None) -> str:
     """config.augment_impl with "auto" resolved at trace time.
 
-    "auto" picks the fused Pallas kernel (ops/augment_pallas.py) on a
-    single-chip TPU — the device-clock A/B winner — and the XLA path
-    elsewhere: Mosaic kernels don't run on CPU, and a pallas_call inside a
-    GSPMD-sharded program is not automatically partitioned over the mesh,
-    so the multi-chip DP chunk keeps the XLA form until a shard_map
-    integration exists.
+    "auto" picks the fused Pallas kernel (ops/augment_pallas.py) on TPU —
+    the device-clock A/B winner — and the XLA path on CPU (Mosaic kernels
+    don't run there). Under a DP mesh the kernel rides shard_map
+    (ops/augment_pallas.py::augment_batch_pallas_sharded): a pallas_call is
+    not automatically partitioned by GSPMD, so each device runs it on its
+    local batch shard.
     """
     impl = getattr(config, "augment_impl", "auto")
     if impl != "auto":
         return impl
-    if jax.default_backend() == "tpu" and jax.device_count() == 1:
+    if jax.default_backend() == "tpu" and (
+        mesh is not None or jax.device_count() == 1
+    ):
         return "pallas"
     return "xla"
 
 
 def rgba_train_step(
-    config: Config, models: Models, state: TrainState, source, target
+    config: Config, models: Models, state: TrainState, source, target,
+    *, mesh=None,
 ):
-    """One optimization step on a raw [0, 255] RGBA batch (uint8 or float)."""
+    """One optimization step on a raw [0, 255] RGBA batch (uint8 or float).
+
+    `mesh` (bound via functools.partial by parallel/dp.py, never traced)
+    switches the Pallas augmentation to its shard_map form so it partitions
+    over the data axis like the rest of the step.
+    """
     rng, k_aug, k_drop = jax.random.split(state.rng, 3)
 
-    if config.uses_augmentation and _resolve_augment_impl(config) == "pallas":
+    if config.uses_augmentation and _resolve_augment_impl(config, mesh) == "pallas":
         # fused one-pass kernel; consumes the gathered uint8 batch directly
         # (the upcast happens in VMEM), emits float32, and folds the
         # [0,255] -> [-1,1] normalize into its write
-        from ..ops.augment_pallas import augment_batch_pallas
-
-        source, target = augment_batch_pallas(
-            source, target, k_aug, config.augment_probability,
-            normalize_out=True,
+        from ..ops.augment_pallas import (
+            augment_batch_pallas,
+            augment_batch_pallas_sharded,
         )
+
+        if mesh is not None:
+            source, target = augment_batch_pallas_sharded(
+                source, target, k_aug, config.augment_probability,
+                normalize_out=True, mesh=mesh, axis=config.data_axis,
+            )
+        else:
+            source, target = augment_batch_pallas(
+                source, target, k_aug, config.augment_probability,
+                normalize_out=True,
+            )
     else:
         # the HBM-resident dataset is uint8 (data/loader.py::prepare_rgba);
         # the upcast fuses into the gather's consumer

@@ -59,6 +59,81 @@ def test_dp_step_matches_single_device(mesh8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+def _interpret_pallas():
+    """Context manager running every pallas_call in interpreter mode so the
+    Mosaic-only augmentation kernel executes on the CPU mesh."""
+    import contextlib
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    @contextlib.contextmanager
+    def ctx():
+        orig = pl.pallas_call
+        pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            yield
+        finally:
+            pl.pallas_call = orig
+
+    return ctx()
+
+
+def test_pallas_augment_sharded_matches_unsharded(mesh8):
+    """The shard_map form of the fused Pallas augmentation kernel is
+    bit-equal to the unsharded call: parameter vectors are drawn globally
+    with the same key schedule and the kernel is per-image."""
+    from palette_and_histo_gan_tpu.ops import augment_pallas as ap
+
+    rng = np.random.default_rng(17)
+    src = jnp.asarray(rng.integers(0, 256, (16, 64, 64, 4)), jnp.uint8)
+    tgt = jnp.asarray(rng.integers(0, 256, (16, 64, 64, 4)), jnp.uint8)
+    key = jax.random.PRNGKey(9)
+
+    with _interpret_pallas():
+        ref_s, ref_t = ap.augment_batch_pallas(src, tgt, key, normalize_out=True)
+        sh_s, sh_t = ap.augment_batch_pallas_sharded(
+            src, tgt, key, normalize_out=True, mesh=mesh8, axis="data"
+        )
+    np.testing.assert_array_equal(np.asarray(sh_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(sh_t), np.asarray(ref_t))
+
+
+def test_dp_step_pallas_augment_matches_single(mesh8):
+    """The DP train step with the shard_map Pallas augmentation equals the
+    single-device step with the plain Pallas augmentation — the multi-chip
+    production path when augment_impl resolves to 'pallas' on TPU."""
+    from palette_and_histo_gan_tpu.train.steps import rgba_train_step
+
+    config = config_for_variant(
+        "baseline", donate_state=False, augment_impl="pallas"
+    )
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+    src, tgt = rgba_batch(seed=13, batch=16)
+
+    with _interpret_pallas():
+        ref_state, ref_metrics = rgba_train_step(
+            config, models, state, src, tgt
+        )
+        dp_step = dp_mod.make_dp_train_step(config, models, mesh8)
+        dp_state, dp_metrics = dp_step(
+            mesh_mod.replicate_state(mesh8, state),
+            mesh_mod.shard_batch(mesh8, src),
+            mesh_mod.shard_batch(mesh8, tgt),
+        )
+        dp_metrics = jax.tree.map(np.asarray, dp_metrics)
+        dp_leaves = [np.asarray(x) for x in jax.tree.leaves(dp_state.g_params)]
+
+    np.testing.assert_allclose(
+        float(dp_metrics["generator/total_loss"]),
+        float(ref_metrics["generator/total_loss"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(jax.tree.leaves(ref_state.g_params), dp_leaves):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-4, atol=1e-6)
+
+
 def test_dp_step_runs_augmented(mesh8):
     config = config_for_variant("baseline", donate_state=False)
     models = tiny_models(config)
