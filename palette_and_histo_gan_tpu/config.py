@@ -143,6 +143,14 @@ class Config:
     # "narrow" (plain nn.Conv), or "dup8" (channel duplication,
     # models/networks.py::DupOutConv; measured negative)
     head_conv: str = "swapgrad"
+    # generator head lowering for INFERENCE-ONLY programs (generate_core):
+    # "train" reuses head_conv; "nchw" recomputes the head conv with an
+    # NCHW out_spec (models/networks.py::NCHWOutConv) — in a program with
+    # no backward, XLA gives the narrow head a channels-minor layout and
+    # the degenerate EmitOutputBatchInSublanes emitter (11.4 ms of a 21 ms
+    # batch-1024 generator forward on v5e); spatial-minor output restores
+    # the train-program emitter. Same params either way.
+    infer_head_conv: str = "train"
     # discriminator first conv: split-concat form (networks.py::
     # _SplitConcatConv) that lets XLA CSE the shared source-half conv
     d_input_split: bool = False

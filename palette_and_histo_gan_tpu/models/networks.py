@@ -455,6 +455,46 @@ class SwapGradConv(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class NCHWOutConv(nn.Module):
+    """Conv k4 s1 SAME with bias whose output is REQUESTED in NCHW dim
+    order (spatial-minor) and transposed back to NHWC.
+
+    Inference-only lowering for the narrow generator head (36 -> 4,
+    networks.py:95-97): in the TRAIN program XLA's layout assignment gives
+    this conv a spatial-minor output layout ({2,1,3,0} tiling, lanes carry
+    a spatial dim) and the efficient EmitInputBatchInLanes emitter. In an
+    inference-only program (no backward; consumers are just tanh + the
+    scan carry) it instead picks a channels-minor {3,0,2,1} layout and the
+    degenerate EmitOutputBatchInSublanes emitter — 4/128 lanes live, XLA's
+    own estimate 16.9M cycles, measured 11.4 ms of a 21 ms batch-1024
+    generator forward on v5e. Asking for the conv result in NCHW puts W in
+    lanes/H in sublanes regardless of what the consumers prefer; the
+    transpose back to NHWC is a ~34 MB bf16 relayout that fuses with the
+    tanh epilogue. Exact: same convolution, same param names/shapes.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", conv_init, (4, 4, x.shape[-1], self.features), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NCHW"),
+        )
+        y = jnp.transpose(y, (0, 2, 3, 1))
+        return y + bias.astype(y.dtype)
+
+
 class UpBlock(nn.Module):
     """ConvTranspose k4 s2 -> InstanceNorm -> [Dropout 0.5] -> ReLU
     (networks.py:24-36).
@@ -542,6 +582,12 @@ class UnetGenerator(nn.Module):
             # narrow heads only: the swap makes C_in the emitter's feature
             # dim, which would SHRINK it for the indexed 33 -> 256 head
             x = SwapGradConv(
+                self.output_channels, dtype=self.dtype, name="Conv_0"
+            )(x)
+        elif self.head_conv == "nchw":
+            # inference-only lowering (config.infer_head_conv); see
+            # NCHWOutConv for the emitter story
+            x = NCHWOutConv(
                 self.output_channels, dtype=self.dtype, name="Conv_0"
             )(x)
         else:

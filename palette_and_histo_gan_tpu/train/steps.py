@@ -416,7 +416,17 @@ def generate_core(config: Config, models: Models) -> Callable:
     Dropout stays ACTIVE (training=True in every reference generate call).
     Shared by the single-device jit (make_generate_fn) and the DP-sharded
     jit (parallel.dp.make_dp_generate_fn) so both compute the same function.
+
+    config.infer_head_conv selects an inference-only head-conv lowering
+    (networks.py::NCHWOutConv) applied to the SAME params — in a program
+    with no backward pass XLA hands the narrow head a degenerate emitter
+    (11.4 ms of a 21 ms batch-1024 forward on v5e; see the module docstring).
     """
+    infer_head = getattr(config, "infer_head_conv", "train")
+    if infer_head != "train" and infer_head != config.head_conv:
+        models = models._replace(
+            generator=models.generator.clone(head_conv=infer_head)
+        )
 
     def generate(g_params, source, rng):
         if config.is_indexed:

@@ -1,0 +1,209 @@
+"""Serving-throughput benchmark: generator inference on the device clock.
+
+The reference's only inference path generates one image at a time through
+matplotlib previews (side2side_model.py:202-222 →
+generate_images_from_dataset). This framework serves batched: a jitted
+lax.scan of `generate_core` over a pool of resident uint8 batches —
+per-iteration batch gather + [0,255]→[-1,1] normalize + U-Net forward
+(dropout ON at inference, the reference quirk) — measured with the same
+profiler-trace XLA-op-sum clock as bench.py/trace_ops.py (host wall timing
+through this host's TPU tunnel has ±25% episodes, docs/DESIGN.md).
+
+Usage:
+    python scripts/bench_infer.py [--variant baseline-no-aug]
+                                  [--batches 64,256,1024] [--steps 16]
+
+Prints one JSON line per batch size:
+    {"variant": ..., "batch": N, "ms_per_batch": ..., "images_per_sec": ...,
+     "mfu": ..., "clock": "device-trace"}
+"""
+
+import argparse
+import collections
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_PEAK_BF16 = 197e12
+
+
+def device_trace_total_seconds(log_dir: str) -> float | None:
+    """Sum of leaf 'XLA Ops' durations across TPU device planes, or None if
+    the backend produced no xplane trace (same parse as scripts/trace_ops)."""
+    import importlib
+
+    xplane_pb2 = None
+    for mod in (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+        "tensorflow.core.profiler.protobuf.xplane_pb2",
+        "tsl.profiler.protobuf.xplane_pb2",
+    ):
+        try:
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    if xplane_pb2 is None:
+        return None
+    paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        return None
+    total = 0.0
+    for path in paths:
+        xspace = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xspace.ParseFromString(f.read())
+        for plane in xspace.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            meta = plane.event_metadata
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = meta[ev.metadata_id].name
+                    if name.startswith(("%while", "jit_", "%jit")):
+                        continue
+                    total += ev.duration_ps / 1e12
+    return total or None
+
+
+def make_infer_chunk(config, models, n_data: int):
+    """(g_params, pool_u8/int32, key, num_steps) -> scalar checksum.
+
+    Each scan iteration gathers a fresh batch from the resident pool (a
+    rotating index pattern — serving never re-reads the same batch, so the
+    normalize/forward must not be hoisted loop-invariant) and runs the
+    production generate path. The checksum forces materialization.
+    """
+    from functools import partial
+
+    from palette_and_histo_gan_tpu.train.steps import generate_core
+
+    core = generate_core(config, models)
+    batch = config.batch_size
+
+    @partial(jax.jit, static_argnames=("num_steps",))
+    def infer_chunk(g_params, pool, key, num_steps: int):
+        base = jnp.arange(batch, dtype=jnp.int32)
+
+        def body(acc, i):
+            idx = (base + i * 8191) % n_data
+            src = pool[idx]
+            if not config.is_indexed:
+                src = src.astype(jnp.float32) / 127.5 - 1.0
+            out = core(g_params, src, jax.random.fold_in(key, i))
+            # full-tensor checksum: a sliced checksum would let XLA narrow
+            # the head conv to the consumed window and benchmark a smaller
+            # program (it does not today, but nothing guarantees that)
+            return acc + jnp.sum(out.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(num_steps)
+        )
+        return acc
+
+    return infer_chunk
+
+
+def run(
+    variant: str,
+    batch: int,
+    steps: int,
+    dtype: str = "bfloat16",
+    infer_head: str | None = None,
+) -> dict:
+    from palette_and_histo_gan_tpu.config import config_for_variant
+    from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
+    from palette_and_histo_gan_tpu.utils.flops import _generator_fwd_flops
+
+    overrides = {}
+    if infer_head is not None:
+        overrides["infer_head_conv"] = infer_head
+    config = config_for_variant(
+        variant, batch_size=batch, donate_state=False, compute_dtype=dtype,
+        **overrides,
+    )
+    models = build_models(config)
+    state = create_train_state(config, models, jax.random.PRNGKey(0))
+    n_data = max(2048, batch)
+    rng = np.random.default_rng(0)
+    if config.is_indexed:
+        pool = jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 1)), jnp.int32)
+    else:
+        pool = jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8)
+
+    chunk = make_infer_chunk(config, models, n_data)
+    key = jax.random.PRNGKey(1)
+    float(chunk(state.g_params, pool, key, num_steps=steps))  # compile+warm
+
+    log_dir = tempfile.mkdtemp(prefix="bench_infer_")
+    try:
+        jax.profiler.start_trace(log_dir)
+        float(chunk(state.g_params, pool, key, num_steps=steps))
+        jax.profiler.stop_trace()
+        total = device_trace_total_seconds(log_dir)
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
+
+    result = {
+        "variant": variant,
+        "batch": batch,
+        "steps": steps,
+        "infer_head_conv": config.infer_head_conv,
+        "clock": "device-trace",
+    }
+    if total is None:
+        # fallback: host marginal rate (t_long - t_short), the ±25% clock
+        import time
+
+        def timed(n):
+            t0 = time.perf_counter()
+            float(chunk(state.g_params, pool, key, num_steps=n))
+            return time.perf_counter() - t0
+
+        timed(2)
+        total = min(timed(2 + steps) - timed(2) for _ in range(3))
+        result["clock"] = "host-marginal"
+    sec_per_batch = total / steps
+    result["ms_per_batch"] = round(sec_per_batch * 1e3, 3)
+    result["images_per_sec"] = round(batch / sec_per_batch, 1)
+    result["mfu"] = round(
+        _generator_fwd_flops(config) * batch / sec_per_batch / V5E_PEAK_BF16, 4
+    )
+    return result
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="baseline-no-aug")
+    p.add_argument("--batches", default="64,256,1024")
+    p.add_argument("--steps", type=int, default=16)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument(
+        "--infer-head",
+        default=None,
+        help="override config.infer_head_conv ('train' | 'nchw')",
+    )
+    args = p.parse_args()
+    for batch in (int(b) for b in args.batches.split(",")):
+        print(
+            json.dumps(
+                run(args.variant, batch, args.steps, args.dtype, args.infer_head)
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

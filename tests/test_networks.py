@@ -220,3 +220,55 @@ def test_swapgrad_head_matches_plain_conv():
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), atol=1e-4
             )
+
+
+def test_nchw_head_matches_plain_conv():
+    """head_conv="nchw" (NCHW out_spec, inference-only lowering — see
+    models/networks.py::NCHWOutConv) equals plain nn.Conv on the same
+    params for both narrow head shapes."""
+    from palette_and_histo_gan_tpu.models.networks import NCHWOutConv, conv_init
+    import flax.linen as nn
+
+    rng = np.random.default_rng(11)
+    for cin, feats in [(36, 4), (64, 1)]:
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, cin)), jnp.float32)
+        plain = nn.Conv(
+            feats, kernel_size=(4, 4), padding="SAME", use_bias=True,
+            kernel_init=conv_init,
+        )
+        nchw = NCHWOutConv(feats)
+        params = plain.init(jax.random.PRNGKey(1), x)
+        assert jax.tree.map(jnp.shape, params) == jax.tree.map(
+            jnp.shape, nchw.init(jax.random.PRNGKey(2), x)
+        )
+        y1, y2 = plain.apply(params, x), nchw.apply(params, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_generate_core_infer_head_nchw_matches_train_head():
+    """generate_core under config.infer_head_conv="nchw" produces the same
+    images as the training head from the same params (same dropout RNG
+    path: the head swap renames no module)."""
+    import dataclasses
+
+    from palette_and_histo_gan_tpu.config import config_for_variant
+    from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
+    from palette_and_histo_gan_tpu.train.steps import generate_core
+
+    config = config_for_variant(
+        "baseline-no-aug",
+        batch_size=2,
+        down_filters=(8, 8, 8, 8, 8, 8),
+        up_filters=(8, 8, 8, 8, 8, 8),
+        donate_state=False,
+    )
+    models = build_models(config)
+    state = create_train_state(config, models, jax.random.PRNGKey(0))
+    src = jnp.asarray(
+        np.random.default_rng(3).uniform(-1, 1, (2, 64, 64, 4)), jnp.float32
+    )
+    key = jax.random.PRNGKey(7)
+    ref = generate_core(config, models)(state.g_params, src, key)
+    nchw_cfg = dataclasses.replace(config, infer_head_conv="nchw")
+    out = generate_core(nchw_cfg, models)(state.g_params, src, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
