@@ -25,10 +25,21 @@ from ..train.state import Models
 def export_generator_serialized(
     config: Config, models: Models, g_params, batch_size: int = 1
 ) -> bytes:
-    """Serialize the generator's inference program + weights to bytes."""
+    """Serialize the generator's inference program + weights to bytes.
+
+    Applies config.infer_head_conv (same rule as train.steps.generate_core):
+    an exported program is backward-free, so the narrow head conv is exposed
+    to the degenerate channels-minor emitter the inference trace found
+    (docs/DESIGN.md "Inference/serving path"); the swap is param-compatible
+    and exact.
+    """
+    generator = models.generator
+    infer_head = getattr(config, "infer_head_conv", "train")
+    if infer_head != "train" and infer_head != config.head_conv:
+        generator = generator.clone(head_conv=infer_head)
 
     def infer(source):
-        return models.generator.apply(
+        return generator.apply(
             {"params": g_params}, source, deterministic=True
         )
 

@@ -29,6 +29,32 @@ def test_generator_export_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(served), np.asarray(direct), rtol=1e-5, atol=1e-6)
 
 
+def test_generator_export_with_infer_head_nchw(tmp_path, monkeypatch):
+    """Export under config.infer_head_conv="nchw" serves the same images."""
+    import dataclasses
+
+    monkeypatch.chdir(tmp_path)
+    config = config_for_variant("baseline-no-aug")
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+
+    nchw_cfg = dataclasses.replace(config, infer_head_conv="nchw")
+    blob = export_mod.export_generator_serialized(nchw_cfg, models, state.g_params, 2)
+    path = export_mod.save_exported(nchw_cfg, "generator", blob)
+    infer = export_mod.load_exported(path)
+
+    src = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (2, 64, 64, 4)), jnp.float32
+    )
+    served = infer(src)
+    direct = models.generator.apply(
+        {"params": state.g_params}, src, deterministic=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(served), np.asarray(direct), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_discriminator_export_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     config = config_for_variant("baseline-no-aug")
