@@ -33,10 +33,9 @@ def export_generator_serialized(
     (docs/DESIGN.md "Inference/serving path"); the swap is param-compatible
     and exact.
     """
-    generator = models.generator
-    infer_head = getattr(config, "infer_head_conv", "train")
-    if infer_head != "train" and infer_head != config.head_conv:
-        generator = generator.clone(head_conv=infer_head)
+    from ..train.steps import inference_models
+
+    generator = inference_models(config, models).generator
 
     def infer(source):
         return generator.apply(

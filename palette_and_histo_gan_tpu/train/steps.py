@@ -407,6 +407,22 @@ def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Calla
     return train_chunk
 
 
+def inference_models(config: Config, models: Models) -> Models:
+    """Models with config.infer_head_conv applied to the generator.
+
+    Inference-only head-conv lowering for backward-free programs
+    (networks.py::NCHWOutConv — see the module docstring for the emitter
+    story); param-compatible, exact. Shared by generate_core,
+    models/export.py, and the serving benchmark.
+    """
+    infer_head = getattr(config, "infer_head_conv", "train")
+    if infer_head != "train" and infer_head != config.head_conv:
+        models = models._replace(
+            generator=models.generator.clone(head_conv=infer_head)
+        )
+    return models
+
+
 def generate_core(config: Config, models: Models) -> Callable:
     """Unjitted inference core mirroring Pix2PixModel.generate
     (pix2pix_model.py:58-60) and Pix2PixIndexedModel.generate (:283-287).
@@ -422,11 +438,7 @@ def generate_core(config: Config, models: Models) -> Callable:
     with no backward pass XLA hands the narrow head a degenerate emitter
     (11.4 ms of a 21 ms batch-1024 forward on v5e; see the module docstring).
     """
-    infer_head = getattr(config, "infer_head_conv", "train")
-    if infer_head != "train" and infer_head != config.head_conv:
-        models = models._replace(
-            generator=models.generator.clone(head_conv=infer_head)
-        )
+    models = inference_models(config, models)
 
     def generate(g_params, source, rng):
         if config.is_indexed:

@@ -78,19 +78,35 @@ def device_trace_total_seconds(log_dir: str) -> float | None:
     return total or None
 
 
-def make_infer_chunk(config, models, n_data: int):
+def make_infer_chunk(config, models, n_data: int, deterministic: bool = False):
     """(g_params, pool_u8/int32, key, num_steps) -> scalar checksum.
 
     Each scan iteration gathers a fresh batch from the resident pool (a
     rotating index pattern — serving never re-reads the same batch, so the
     normalize/forward must not be hoisted loop-invariant) and runs the
     production generate path. The checksum forces materialization.
+
+    deterministic=True benchmarks the exported-program serving semantics
+    instead (models/export.py: dropout OFF, keras SavedModel inference);
+    default False matches the reference's in-training generate quirk
+    (dropout always on, pix2pix_model.py:60).
     """
     from functools import partial
 
-    from palette_and_histo_gan_tpu.train.steps import generate_core
+    from palette_and_histo_gan_tpu.train.steps import generate_core, inference_models
 
-    core = generate_core(config, models)
+    if deterministic:
+        gen = inference_models(config, models).generator
+
+        def core(g_params, src, rng):
+            del rng
+            out = gen.apply({"params": g_params}, src, deterministic=True)
+            if config.is_indexed:
+                out = jnp.argmax(out, axis=-1)[..., None].astype(jnp.int32)
+            return out
+
+    else:
+        core = generate_core(config, models)
     batch = config.batch_size
 
     @partial(jax.jit, static_argnames=("num_steps",))
@@ -122,6 +138,7 @@ def run(
     steps: int,
     dtype: str = "bfloat16",
     infer_head: str | None = None,
+    deterministic: bool = False,
 ) -> dict:
     from palette_and_histo_gan_tpu.config import config_for_variant
     from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
@@ -143,7 +160,7 @@ def run(
     else:
         pool = jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8)
 
-    chunk = make_infer_chunk(config, models, n_data)
+    chunk = make_infer_chunk(config, models, n_data, deterministic=deterministic)
     key = jax.random.PRNGKey(1)
     float(chunk(state.g_params, pool, key, num_steps=steps))  # compile+warm
 
@@ -161,6 +178,8 @@ def run(
         "batch": batch,
         "steps": steps,
         "infer_head_conv": config.infer_head_conv,
+        "dropout": "off (exported-program semantics)" if deterministic
+        else "on (reference generate quirk)",
         "clock": "device-trace",
     }
     if total is None:
@@ -195,11 +214,24 @@ def main():
         default=None,
         help="override config.infer_head_conv ('train' | 'nchw')",
     )
+    p.add_argument(
+        "--deterministic",
+        action="store_true",
+        help="dropout OFF (exported-program serving semantics) instead of "
+        "the reference's dropout-on generate quirk",
+    )
     args = p.parse_args()
     for batch in (int(b) for b in args.batches.split(",")):
         print(
             json.dumps(
-                run(args.variant, batch, args.steps, args.dtype, args.infer_head)
+                run(
+                    args.variant,
+                    batch,
+                    args.steps,
+                    args.dtype,
+                    args.infer_head,
+                    args.deterministic,
+                )
             ),
             flush=True,
         )

@@ -59,3 +59,38 @@ def test_infer_chunk_matches_direct_generate_rgba():
 
 def test_infer_chunk_matches_direct_generate_indexed():
     _chunk_vs_direct("indexed")
+
+
+def test_infer_chunk_deterministic_matches_export_semantics():
+    """--deterministic benchmarks what models/export.py serves: dropout OFF,
+    plain generator apply (with the inference head swap)."""
+    import bench_infer
+
+    from palette_and_histo_gan_tpu.train.steps import inference_models
+
+    config = config_for_variant(
+        "baseline-no-aug",
+        batch_size=4,
+        donate_state=False,
+        down_filters=(8,) * 6,
+        up_filters=(8,) * 6,
+        infer_head_conv="nchw",
+    )
+    models = build_models(config)
+    state = create_train_state(config, models, jax.random.PRNGKey(0))
+    n_data = 16
+    pool = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8
+    )
+    chunk = bench_infer.make_infer_chunk(config, models, n_data, deterministic=True)
+    key = jax.random.PRNGKey(1)
+    got = float(chunk(state.g_params, pool, key, num_steps=2))
+
+    gen = inference_models(config, models).generator
+    base = jnp.arange(config.batch_size, dtype=jnp.int32)
+    want = 0.0
+    for i in range(2):
+        src = pool[(base + i * 8191) % n_data].astype(jnp.float32) / 127.5 - 1.0
+        out = gen.apply({"params": state.g_params}, src, deterministic=True)
+        want += float(jnp.sum(out.astype(jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
