@@ -97,6 +97,11 @@ def make_infer_chunk(config, models, n_data: int, deterministic: bool = False):
 
     if deterministic:
         gen = inference_models(config, models).generator
+        if config.is_indexed:
+            # argmax over logits == argmax over softmax(logits); the linear
+            # clone skips the (B, H, W, 256) probability tensor exactly as
+            # generate_core does
+            gen = gen.clone(last_activation="linear")
 
         def core(g_params, src, rng):
             del rng
