@@ -19,7 +19,6 @@ Prints one JSON line per batch size:
 """
 
 import argparse
-import collections
 import glob
 import json
 import os
