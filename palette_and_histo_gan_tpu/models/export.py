@@ -53,8 +53,12 @@ def export_generator_serialized(
 def export_discriminator_serialized(
     config: Config, models: Models, d_params, batch_size: int = 1
 ) -> bytes:
+    from ..train.steps import inference_models
+
+    discriminator = inference_models(config, models).discriminator
+
     def infer(target, source):
-        return models.discriminator.apply({"params": d_params}, target, source)
+        return discriminator.apply({"params": d_params}, target, source)
 
     spec = jax.ShapeDtypeStruct(
         (

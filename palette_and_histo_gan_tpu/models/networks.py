@@ -643,6 +643,9 @@ class PatchDiscriminator(nn.Module):
             x = DupOutConv(1, dtype=self.dtype, name="Conv_0")(x)
         elif self.head_conv == "swapgrad":
             x = SwapGradConv(1, dtype=self.dtype, name="Conv_0")(x)
+        elif self.head_conv == "nchw":
+            # inference-only lowering (see NCHWOutConv)
+            x = NCHWOutConv(1, dtype=self.dtype, name="Conv_0")(x)
         else:
             x = nn.Conv(
                 1,

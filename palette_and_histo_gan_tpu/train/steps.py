@@ -408,17 +408,20 @@ def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Calla
 
 
 def inference_models(config: Config, models: Models) -> Models:
-    """Models with config.infer_head_conv applied to the generator.
+    """Models with config.infer_head_conv applied to both networks' heads.
 
     Inference-only head-conv lowering for backward-free programs
     (networks.py::NCHWOutConv — see the module docstring for the emitter
-    story); param-compatible, exact. Shared by generate_core,
-    models/export.py, and the serving benchmark.
+    story); param-compatible, exact. The discriminator's 64 -> 1 patch head
+    is as narrow as the generator's, so its inference surfaces
+    (make_discriminate_fn patch maps, models/export.py) get the same swap.
+    Shared by generate_core, models/export.py, and the serving benchmark.
     """
     infer_head = getattr(config, "infer_head_conv", "train")
     if infer_head != "train" and infer_head != config.head_conv:
         models = models._replace(
-            generator=models.generator.clone(head_conv=infer_head)
+            generator=models.generator.clone(head_conv=infer_head),
+            discriminator=models.discriminator.clone(head_conv=infer_head),
         )
     return models
 
@@ -460,7 +463,9 @@ def make_generate_fn(config: Config, models: Models) -> Callable:
 
 def make_discriminate_fn(config: Config, models: Models) -> Callable:
     """Jitted patch-probability map for debugging visualizations
-    (pix2pix_model.py:161-178)."""
+    (pix2pix_model.py:161-178). Backward-free, so the inference head
+    lowering applies (see inference_models)."""
+    models = inference_models(config, models)
 
     def discriminate(d_params, target, source):
         logits = _apply_discriminator(models, d_params, target, source)

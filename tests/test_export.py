@@ -72,3 +72,23 @@ def test_discriminator_export_roundtrip(tmp_path, monkeypatch):
     direct = models.discriminator.apply({"params": state.d_params}, t, s)
     assert served.shape == (1, 32, 32, 1)
     np.testing.assert_allclose(np.asarray(served), np.asarray(direct), rtol=1e-5, atol=1e-6)
+
+
+def test_discriminate_fn_infer_head_nchw_matches_train_head():
+    """The discriminator's 64->1 patch head gets the same inference-only
+    lowering as the generator's; patch maps are unchanged."""
+    import dataclasses
+
+    from palette_and_histo_gan_tpu.train.steps import make_discriminate_fn
+
+    config = config_for_variant("baseline-no-aug")
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+
+    rng = np.random.default_rng(2)
+    t = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 4)), jnp.float32)
+    s = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 4)), jnp.float32)
+    ref = make_discriminate_fn(config, models)(state.d_params, t, s)
+    nchw_cfg = dataclasses.replace(config, infer_head_conv="nchw")
+    out = make_discriminate_fn(nchw_cfg, models)(state.d_params, t, s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
