@@ -94,13 +94,15 @@ def test_loss_trajectory_decreases_on_real_data():
 
 
 @needs_data
-def test_trainer_mini_fit(tmp_path, monkeypatch):
+@pytest.mark.parametrize("variant", ["baseline-no-aug", "indexed"])
+def test_trainer_mini_fit(tmp_path, monkeypatch, variant):
     """A short end-to-end fit through the REAL Trainer constructor
     (config width overrides keep the nets tiny): loop, preview images, L1
-    callback, checkpoint."""
+    callback, checkpoint. The indexed variant additionally exercises the
+    palette-decode preview/eval paths (pix2pix_model.py:332-370)."""
     monkeypatch.chdir(tmp_path)
     config = config_for_variant(
-        "baseline-no-aug",
+        variant,
         donate_state=False,
         data_root=DATA_ROOT,
         temp_folder=str(tmp_path / "temp"),
