@@ -587,7 +587,7 @@ class UnetGenerator(nn.Module):
         elif self.head_conv == "nchw" and self.output_channels <= 8:
             # inference-only lowering (config.infer_head_conv); see
             # NCHWOutConv for the emitter story. Narrow heads only: the
-            # indexed 36 -> 256 head already fills the lanes channels-minor
+            # indexed 33 -> 256 head already fills the lanes channels-minor
             x = NCHWOutConv(
                 self.output_channels, dtype=self.dtype, name="Conv_0"
             )(x)
