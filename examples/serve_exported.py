@@ -40,14 +40,17 @@ def do_export(args) -> None:
         args.model, batch_size=args.batch_size, donate_state=False
     )
     models = build_models(config)
-    state = create_train_state(config, models, jax.random.PRNGKey(config.seed))
-    g_params = state.g_params
     if args.checkpoint:
+        # the Trainer builds its own state before restoring; don't pay a
+        # second full-width init just to throw it away
         from palette_and_histo_gan_tpu.train.trainer import Trainer
 
         trainer = Trainer(config)
         trainer.restore_latest_checkpoint()
         g_params = trainer.state.g_params
+    else:
+        state = create_train_state(config, models, jax.random.PRNGKey(config.seed))
+        g_params = state.g_params
     blob = export_mod.export_generator_serialized(
         config, models, g_params, batch_size=args.batch_size
     )
@@ -65,7 +68,16 @@ def do_serve(args) -> None:
     with open(args.program, "rb") as f:
         exported = jax.export.deserialize(f.read())
     infer = exported.call
-    batch = exported.in_avals[0].shape[0]
+    in_shape = exported.in_avals[0].shape
+    batch = in_shape[0]
+    if in_shape[-1] != 4:
+        raise SystemExit(
+            f"program expects {in_shape[-1]}-channel input, not RGBA: this "
+            "demo serves RGBA-variant generators only (an indexed-variant "
+            "program consumes palette-index maps and emits 256-way "
+            "probabilities, which need per-image palettes to decode — see "
+            "train/steps.py::generate_core for that path)"
+        )
     names = sorted(
         f for f in os.listdir(args.input_dir) if f.lower().endswith(".png")
     )

@@ -236,15 +236,17 @@ class FidEvaluator:
         input_size: int = 299,
         mesh=None,
     ):
-        """mesh: optional jax.sharding.Mesh with a "data" axis; Inception
-        forwards then shard the image batch across it (activations are
-        per-sample, so values are unchanged — asserted in
-        tests/test_parallel.py). batch_size is rounded up to a multiple of
-        the data-axis size."""
+        """mesh: optional jax.sharding.Mesh whose FIRST axis is the data
+        axis (make_mesh's layout regardless of its data_axis name — the
+        Trainer may rename it via config.data_axis); Inception forwards
+        then shard the image batch across it (activations are per-sample,
+        so values are unchanged — asserted in tests/test_parallel.py).
+        batch_size is rounded up to a multiple of the data-axis size."""
         self.model, self.variables = inception_mod.load_params(input_size=input_size)
         self.mesh = mesh
         if mesh is not None:
-            ndev = mesh.shape["data"]
+            data_axis = mesh.axis_names[0]
+            ndev = mesh.shape[data_axis]
             batch_size = -(-batch_size // ndev) * ndev
         self.batch_size = batch_size
         self.input_size = input_size
@@ -261,7 +263,7 @@ class FidEvaluator:
         else:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            data_sh = NamedSharding(mesh, PartitionSpec("data"))
+            data_sh = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
             repl = NamedSharding(mesh, PartitionSpec())
             self._data_sharding = data_sh
             self._features = jax.jit(

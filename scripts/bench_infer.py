@@ -19,12 +19,10 @@ Prints one JSON line per batch size:
 """
 
 import argparse
-import glob
 import json
 import os
-import shutil
 import sys
-import tempfile
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -34,47 +32,6 @@ import jax.numpy as jnp
 import numpy as np
 
 V5E_PEAK_BF16 = 197e12
-
-
-def device_trace_total_seconds(log_dir: str) -> float | None:
-    """Sum of leaf 'XLA Ops' durations across TPU device planes, or None if
-    the backend produced no xplane trace (same parse as scripts/trace_ops)."""
-    import importlib
-
-    xplane_pb2 = None
-    for mod in (
-        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
-        "tensorflow.core.profiler.protobuf.xplane_pb2",
-        "tsl.profiler.protobuf.xplane_pb2",
-    ):
-        try:
-            xplane_pb2 = importlib.import_module(mod)
-            break
-        except ImportError:
-            continue
-    if xplane_pb2 is None:
-        return None
-    paths = glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True)
-    if not paths:
-        return None
-    total = 0.0
-    for path in paths:
-        xspace = xplane_pb2.XSpace()
-        with open(path, "rb") as f:
-            xspace.ParseFromString(f.read())
-        for plane in xspace.planes:
-            if not plane.name.startswith("/device:TPU"):
-                continue
-            meta = plane.event_metadata
-            for line in plane.lines:
-                if line.name != "XLA Ops":
-                    continue
-                for ev in line.events:
-                    name = meta[ev.metadata_id].name
-                    if name.startswith(("%while", "jit_", "%jit")):
-                        continue
-                    total += ev.duration_ps / 1e12
-    return total or None
 
 
 def make_infer_chunk(config, models, n_data: int, deterministic: bool = False):
@@ -166,16 +123,19 @@ def run(
 
     chunk = make_infer_chunk(config, models, n_data, deterministic=deterministic)
     key = jax.random.PRNGKey(1)
-    float(chunk(state.g_params, pool, key, num_steps=steps))  # compile+warm
 
-    log_dir = tempfile.mkdtemp(prefix="bench_infer_")
-    try:
-        jax.profiler.start_trace(log_dir)
-        float(chunk(state.g_params, pool, key, num_steps=steps))
-        jax.profiler.stop_trace()
-        total = device_trace_total_seconds(log_dir)
-    finally:
-        shutil.rmtree(log_dir, ignore_errors=True)
+    def timed(n):
+        t0 = time.perf_counter()
+        float(chunk(state.g_params, pool, key, num_steps=n))
+        return time.perf_counter() - t0
+
+    timed(steps)  # compile+warm
+
+    # PRIMARY clock: device-trace XLA-op sum, one shared parser with
+    # bench.py/sweep.py/trace_ops.py (utils/profiling.py)
+    from palette_and_histo_gan_tpu.utils.profiling import device_step_seconds
+
+    sec_per_batch = device_step_seconds(timed, steps)
 
     result = {
         "variant": variant,
@@ -186,19 +146,25 @@ def run(
         else "on (reference generate quirk)",
         "clock": "device-trace",
     }
-    if total is None:
-        # fallback: host marginal rate (t_long - t_short), the ±25% clock
-        import time
-
-        def timed(n):
-            t0 = time.perf_counter()
-            float(chunk(state.g_params, pool, key, num_steps=n))
-            return time.perf_counter() - t0
-
-        timed(2)
-        total = min(timed(2 + steps) - timed(2) for _ in range(3))
+    if sec_per_batch is None:
+        # fallback: best-of-3 host marginal rate; tunnel RPC latency spikes
+        # can make a single (t_full - t_short) difference negative, so keep
+        # only positive marginals (same guard as scripts/sweep.py)
+        short = max(steps // 4, 1)
+        best = float("inf")
+        for _ in range(3):
+            t_short = timed(short)
+            t_full = timed(steps)
+            marginal = (t_full - t_short) / (steps - short)
+            if 0 < marginal < best:
+                best = marginal
+        if best == float("inf"):
+            raise RuntimeError(
+                "no device trace and all host-marginal samples were "
+                "non-positive (tunnel latency noise); re-run"
+            )
+        sec_per_batch = best
         result["clock"] = "host-marginal"
-    sec_per_batch = total / steps
     result["ms_per_batch"] = round(sec_per_batch * 1e3, 3)
     result["images_per_sec"] = round(batch / sec_per_batch, 1)
     result["mfu"] = round(

@@ -85,18 +85,19 @@ def measure_variant(
 
     device_step = device_step_seconds(timed, steps)
 
-    short = max(steps // 4, 1)
-    # fallback: best-of-3 marginal rate (tunnel RPC latency spikes can make
-    # a single (t_full - t_short) difference negative)
-    best = float("inf")
-    for _ in range(3):
-        t_short = timed(short)
-        t_full = timed(steps)
-        marginal = (t_full - t_short) / (steps - short)
-        if 0 < marginal < best:
-            best = marginal
     if device_step is not None:
         best = device_step
+    else:
+        short = max(steps // 4, 1)
+        # fallback: best-of-3 marginal rate (tunnel RPC latency spikes can
+        # make a single (t_full - t_short) difference negative)
+        best = float("inf")
+        for _ in range(3):
+            t_short = timed(short)
+            t_full = timed(steps)
+            marginal = (t_full - t_short) / (steps - short)
+            if 0 < marginal < best:
+                best = marginal
     record = {
         "variant": variant,
         "batch": batch,

@@ -98,12 +98,13 @@ def test_histogram_jit_compiles():
     assert h.shape == (2, 64, 64, 3)
 
 
-@pytest.mark.parametrize("bwd", ["tri", "dual", "tri2", "tri2b"])
+@pytest.mark.parametrize("bwd", ["tri", "dual", "tri2", "tri2b", "tri2c"])
 def test_bwd_variants_match_autodiff(bwd):
-    """Every selectable backward dot structure (tri / dual / tri2 / tri2b)
-    computes the same gradient as plain autodiff; they differ only in how
-    many cotangent dots XLA sees and who consumes them (see
-    _histogram_core{,_dual,_tri2} docstrings)."""
+    """Every selectable non-Pallas backward dot structure (tri / dual /
+    tri2 / tri2b / tri2c) computes the same gradient as plain autodiff;
+    they differ only in how many cotangent dots XLA sees and who consumes
+    them (see _histogram_core{,_dual,_tri2} docstrings). The "pallas"
+    entry is covered by tests/test_histogram_pallas.py."""
     rng = np.random.default_rng(11)
     img = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)
     tgt = jnp.asarray(rng.uniform(-1, 1, (2, 8, 8, 4)), jnp.float32)

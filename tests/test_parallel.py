@@ -299,6 +299,11 @@ def test_trainer_eval_runs_under_mesh(tmp_path):
     """The v5e-8 config-5 eval half (VERDICT round 2, Missing #3): under an
     auto-built mesh, report_l1 and report_fid run through the DP generate
     path and report_l1 matches a single-device Trainer exactly."""
+    from tests.test_trainer import HAS_DATA
+
+    if not HAS_DATA:
+        pytest.skip("dataset not found")
+
     from palette_and_histo_gan_tpu.eval.fid import FidEvaluator
     from palette_and_histo_gan_tpu.train.trainer import Trainer
 
