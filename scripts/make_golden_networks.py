@@ -127,6 +127,48 @@ def save(name, **arrays):
     print(f"wrote {name}.npz ({total/1e6:.2f} MB): {', '.join(arrays)}")
 
 
+# Full gradient tensors are pinned for variables at or under this many
+# elements (norm params, biases, the small conv kernels); every variable
+# gets its gradient L2 norm pinned. Shipping all 29.3M full gradients
+# would cost ~120 MB like the weights would.
+GRAD_FULL_MAX_ELEMS = 8192
+
+
+def grad_fixture_arrays(grads: dict, prefix: str) -> dict:
+    """Per-variable gradient pins: L2 norm for every var, the full tensor
+    for small vars. Canonical names are slash-separated; npz keys use '.'
+    (npz keys cannot contain '/'... they can, but keep them readable)."""
+    out = {}
+    for name, g in grads.items():
+        g = np.asarray(g, np.float32)
+        key = name.replace("/", ".")
+        out[f"{prefix}norm.{key}"] = np.float32(np.linalg.norm(g.astype(np.float64)))
+        if g.size <= GRAD_FULL_MAX_ELEMS:
+            out[f"{prefix}full.{key}"] = g
+    return out
+
+
+def taped_gradients(wg, wd, losses_fn):
+    """One reference train step's gradients (pix2pix_model.py:62-83): one
+    persistent tape over a SHARED forward (fake / d_real / d_fake computed
+    once), then G-loss grads w.r.t. generator vars and D-loss grads w.r.t.
+    discriminator vars. losses_fn(gv, dv) -> (g_loss, d_loss). A None
+    gradient (a var reachable only through argmax) becomes zeros, matching
+    JAX's zero cotangent for integer-blocked paths."""
+    gv = {k: tf.Variable(v) for k, v in wg.items()}
+    dv = {k: tf.Variable(v) for k, v in wd.items()}
+    with tf.GradientTape(persistent=True) as tape:
+        g_loss, d_loss = losses_fn(gv, dv)
+    g_grads = tape.gradient(g_loss, gv)
+    d_grads = tape.gradient(d_loss, dv)
+    del tape
+    zero = lambda k, g, w: np.zeros_like(w[k]) if g is None else g.numpy()
+    return (
+        {k: zero(k, g, wg) for k, g in g_grads.items()},
+        {k: zero(k, g, wd) for k, g in d_grads.items()},
+    )
+
+
 bce = tf.keras.losses.BinaryCrossentropy(from_logits=True)
 cce = tf.keras.losses.CategoricalCrossentropy(from_logits=False)
 
@@ -164,6 +206,33 @@ save(
     d_real_loss=np.float32(d_real_loss),
     d_fake_loss=np.float32(d_fake_loss),
     d_total=np.float32(d_real_loss + d_fake_loss),
+)
+
+
+# --- RGBA gradient parity (one baseline train step's tape.gradient) ---------
+# The histogram term is excluded: its fixture-side formula is numpy (not
+# differentiable here) and the JAX histogram VJP is separately parity-tested
+# against autodiff (tests/test_histogram.py), with forward values pinned
+# above — BCE + 100*L1 through the full U-Net/PatchGAN is what pins the
+# conv/convT/InstanceNorm backward passes.
+def rgba_losses(gv, dv):
+    fake_t = generator_forward(gv, tf.constant(source), 4, 4, "tanh")
+    d_real_t = discriminator_forward(dv, tf.constant(real), tf.constant(source))
+    d_fake_t = discriminator_forward(dv, fake_t, tf.constant(source))
+    g_loss = bce(tf.ones_like(d_fake_t), d_fake_t) + 100.0 * tf.reduce_mean(
+        tf.abs(tf.constant(real) - fake_t)
+    )  # pix2pix_model.py:44-49
+    d_loss = bce(tf.ones_like(d_real_t), d_real_t) + bce(
+        tf.zeros_like(d_fake_t), d_fake_t
+    )  # pix2pix_model.py:51-56
+    return g_loss, d_loss
+
+
+gg, dg = taped_gradients(wg, wd, rgba_losses)
+save(
+    "networks_grads_rgba",
+    **grad_fixture_arrays(gg, "g."),
+    **grad_fixture_arrays(dg, "d."),
 )
 
 # --- indexed topology (1 -> 256 softmax G, 1-channel D) ---------------------
@@ -208,6 +277,40 @@ save(
     d_real_loss=np.float32(d_real_loss_i),
     d_fake_loss=np.float32(d_fake_loss_i),
     d_total=np.float32(d_real_loss_i + d_fake_loss_i),
+)
+
+
+# --- indexed gradient parity (pins the argmax gradient topology) ------------
+# The adversarial term reaches G only through argmax -> int cast, so its
+# gradient contribution to G is exactly zero on both sides (the reference
+# quirk, pix2pix_model.py:303-309); G trains on 0.01*CCE alone. D grads flow
+# normally from both BCE terms.
+def indexed_losses(gv, dv):
+    probs_t = generator_forward(gv, tf.constant(source_idx), 1, 256, "softmax")
+    fake_idx_t = tf.expand_dims(
+        tf.argmax(probs_t, axis=-1, output_type=tf.int32), -1
+    )
+    d_real_t = discriminator_forward(
+        dv, tf.cast(real_idx, tf.float32), tf.constant(source_idx)
+    )
+    d_fake_t = discriminator_forward(
+        dv, tf.cast(fake_idx_t, tf.float32), tf.constant(source_idx)
+    )
+    one_hot_t = tf.reshape(tf.one_hot(real_idx, 256, axis=-1), [B, 64, 64, -1])
+    g_loss = bce(tf.ones_like(d_fake_t), d_fake_t) + 0.01 * cce(
+        one_hot_t, probs_t
+    )  # pix2pix_model.py:273-278, lambda_segmentation=0.01
+    d_loss = bce(tf.ones_like(d_real_t), d_real_t) + bce(
+        tf.zeros_like(d_fake_t), d_fake_t
+    )
+    return g_loss, d_loss
+
+
+ggi, dgi = taped_gradients(wgi, wdi, indexed_losses)
+save(
+    "networks_grads_indexed",
+    **grad_fixture_arrays(ggi, "g."),
+    **grad_fixture_arrays(dgi, "d."),
 )
 
 print("done")

@@ -128,3 +128,46 @@ def parity_input(name: str, shape) -> np.ndarray:
     """Deterministic input batch in [-1, 1] (the nets' operating range)."""
     rng = np.random.default_rng(zlib.crc32(name.encode("utf-8")))
     return rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
+
+
+def flax_generator_grads_to_tf(tree) -> dict:
+    """Map a Flax UnetGenerator gradient tree back to canonical TF-layout
+    names (the inverse walk of flax_generator_params).
+
+    The ConvTranspose kernel map W_flax = transpose(W_tf[::-1, ::-1],
+    (0, 1, 3, 2)) is an orthogonal permutation of the entries, so gradients
+    map through the same permutation inverted:
+    G_tf = transpose(G_flax, (0, 1, 3, 2))[::-1, ::-1] (the flip acts on
+    spatial axes and the transpose on channel axes, so they commute)."""
+    out = {}
+    for i in range(len(DOWN_FILTERS)):
+        block = tree[f"DownBlock_{i}"]
+        out[f"gen/down{i}/conv"] = np.asarray(block["Conv_0"]["kernel"])
+        if i != 0:
+            out[f"gen/down{i}/norm/scale"] = np.asarray(
+                block["InstanceNorm_0"]["scale"]
+            )
+            out[f"gen/down{i}/norm/offset"] = np.asarray(
+                block["InstanceNorm_0"]["offset"]
+            )
+    for i in range(len(UP_FILTERS)):
+        block = tree[f"UpBlock_{i}"]
+        g_flax = np.asarray(block["ConvTranspose_0"]["kernel"])
+        out[f"gen/up{i}/convt"] = np.ascontiguousarray(
+            np.transpose(g_flax, (0, 1, 3, 2))[::-1, ::-1]
+        )
+        out[f"gen/up{i}/norm/scale"] = np.asarray(block["InstanceNorm_0"]["scale"])
+        out[f"gen/up{i}/norm/offset"] = np.asarray(
+            block["InstanceNorm_0"]["offset"]
+        )
+    out["gen/head/conv"] = np.asarray(tree["Conv_0"]["kernel"])
+    out["gen/head/bias"] = np.asarray(tree["Conv_0"]["bias"])
+    return out
+
+
+def flax_discriminator_grads_to_tf(tree) -> dict:
+    return {
+        "disc/down/conv": np.asarray(tree["DownBlock_0"]["Conv_0"]["kernel"]),
+        "disc/head/conv": np.asarray(tree["Conv_0"]["kernel"]),
+        "disc/head/bias": np.asarray(tree["Conv_0"]["bias"]),
+    }
