@@ -210,11 +210,6 @@ save(
 
 
 # --- RGBA gradient parity (one baseline train step's tape.gradient) ---------
-# The histogram term is excluded: its fixture-side formula is numpy (not
-# differentiable here) and the JAX histogram VJP is separately parity-tested
-# against autodiff (tests/test_histogram.py), with forward values pinned
-# above — BCE + 100*L1 through the full U-Net/PatchGAN is what pins the
-# conv/convT/InstanceNorm backward passes.
 def rgba_losses(gv, dv):
     fake_t = generator_forward(gv, tf.constant(source), 4, 4, "tanh")
     d_real_t = discriminator_forward(dv, tf.constant(real), tf.constant(source))
@@ -233,6 +228,69 @@ save(
     "networks_grads_rgba",
     **grad_fixture_arrays(gg, "g."),
     **grad_fixture_arrays(dg, "d."),
+)
+
+
+# --- histogram-variant gradient parity ---------------------------------------
+# The reference's differentiable histogram in TF ops (histogram.py:5-89 run
+# under the tape), so the G gradient pins the JAX fused histogram VJP
+# against TF autodiff THROUGH the generator — not just against JAX autodiff
+# (tests/test_histogram.py). D grads are the same formulas as the baseline
+# step and are pinned there.
+def tf_rgbuv_histogram(imgs, size=64, sigma=0.02):
+    eps = 1e-6
+    x = (imgs + 1.0) / 2.0  # histogram.py:58
+    x = tf.reshape(x[..., :3], [x.shape[0], -1, 3])  # :61-63
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    iy = tf.sqrt(r**2 + g**2 + b**2 + eps)  # :66
+    domain = tf.linspace(-3.0, 3.0, size)  # :55
+    hists = []
+    for c, p1, p2 in ((r, g, b), (g, r, b), (b, r, g)):
+        iu = tf.math.log(c + eps) - tf.math.log(p1 + eps)  # :13-17
+        iv = tf.math.log(c + eps) - tf.math.log(p2 + eps)
+        du = tf.square(iu[..., None] - domain) / sigma**2
+        dv = tf.square(iv[..., None] - domain) / sigma**2
+        ku = 1.0 / (1.0 + du)  # inverse-quadratic (:26-27)
+        kv = 1.0 / (1.0 + dv)
+        # (Iy*Ku)^T @ Kv batched matmul (:29-30)
+        hists.append(tf.einsum("bn,bnu,bnv->buv", iy, ku, kv))
+    h = tf.stack(hists, axis=-1)
+    norm = tf.reduce_sum(tf.reshape(h, [h.shape[0], -1]), -1)[:, None, None, None]
+    return h / norm  # :75-79
+
+
+def tf_hellinger(h1, h2):
+    d = tf.sqrt(h1) - tf.sqrt(h2)  # histogram.py:84-89
+    return (
+        (1.0 / np.sqrt(2.0).astype(np.float32))
+        * tf.norm(tf.reshape(d, [-1]))
+        / np.float32(h1.shape[0])
+    )
+
+
+def histogram_losses(gv, dv):
+    fake_t = generator_forward(gv, tf.constant(source), 4, 4, "tanh")
+    d_real_t = discriminator_forward(dv, tf.constant(real), tf.constant(source))
+    d_fake_t = discriminator_forward(dv, fake_t, tf.constant(source))
+    hell_t = tf_hellinger(
+        tf_rgbuv_histogram(tf.constant(real)), tf_rgbuv_histogram(fake_t)
+    )
+    g_loss = (
+        bce(tf.ones_like(d_fake_t), d_fake_t)
+        + 30.0 * tf.reduce_mean(tf.abs(tf.constant(real) - fake_t))
+        + 1.0 * hell_t
+    )  # pix2pix_model.py:242-250, lambdas from notebook cell 9
+    d_loss = bce(tf.ones_like(d_real_t), d_real_t) + bce(
+        tf.zeros_like(d_fake_t), d_fake_t
+    )
+    return g_loss, d_loss
+
+
+ggh, dgh = taped_gradients(wg, wd, histogram_losses)
+save(
+    "networks_grads_histogram",
+    **grad_fixture_arrays(ggh, "g."),
+    **grad_fixture_arrays(dgh, "d."),
 )
 
 # --- indexed topology (1 -> 256 softmax G, 1-channel D) ---------------------
