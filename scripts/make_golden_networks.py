@@ -293,6 +293,36 @@ save(
     **grad_fixture_arrays(dgh, "d."),
 )
 
+
+# --- optimizer parity: two keras Adam updates, pinned parameter deltas -------
+# keras Adam(2e-4, beta_1=0.5), epsilon default 1e-7 (pix2pix_model.py:28-29)
+# over the generator variables with deterministic synthetic gradients
+# (regenerable on the JAX side from the same names, like the weights —
+# exact inputs, so the fixture isolates optimizer semantics: lr, beta1,
+# beta2, eps placement, and t=1/t=2 bias correction; two DIFFERENT
+# gradients so step 2 exercises genuine moment mixing). Deltas are pinned
+# whole for small vars and by L2 norm for all.
+opt = tf.keras.optimizers.Adam(learning_rate=2e-4, beta_1=0.5)
+gvars = {k: tf.Variable(v) for k, v in wg.items()}
+names = sorted(gvars)
+syn1 = {k: pu.make_param(k + "#adam_g1", wg[k].shape, "conv") for k in names}
+syn2 = {k: pu.make_param(k + "#adam_g2", wg[k].shape, "conv") for k in names}
+w_prev = {k: gvars[k].numpy().copy() for k in names}
+opt.apply_gradients(
+    zip([tf.constant(syn1[k]) for k in names], [gvars[k] for k in names])
+)
+delta1 = {k: gvars[k].numpy() - w_prev[k] for k in names}
+w_prev = {k: gvars[k].numpy().copy() for k in names}
+opt.apply_gradients(
+    zip([tf.constant(syn2[k]) for k in names], [gvars[k] for k in names])
+)
+delta2 = {k: gvars[k].numpy() - w_prev[k] for k in names}
+save(
+    "networks_adam",
+    **grad_fixture_arrays(delta1, "s1."),
+    **grad_fixture_arrays(delta2, "s2."),
+)
+
 # --- indexed topology (1 -> 256 softmax G, 1-channel D) ---------------------
 rng = np.random.default_rng(pu.zlib.crc32(b"networks/indexed"))
 source_idx = rng.integers(0, 256, size=(B, 64, 64, 1)).astype(np.float32)
