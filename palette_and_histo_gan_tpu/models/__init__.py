@@ -1,5 +1,6 @@
 """Model definitions: U-Net generator, PatchGAN discriminator, InceptionV3."""
 
+from . import convert
 from .networks import (
     InstanceNorm,
     DownBlock,
@@ -11,6 +12,7 @@ from .networks import (
 )
 
 __all__ = [
+    "convert",
     "InstanceNorm",
     "DownBlock",
     "UpBlock",

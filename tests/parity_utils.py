@@ -27,9 +27,11 @@ import zlib
 
 import numpy as np
 
+from palette_and_histo_gan_tpu.models import convert
+
 # topology constants per /root/reference/networks.py:57-73
-DOWN_FILTERS = (64, 128, 256, 512, 512, 512)
-UP_FILTERS = (512, 512, 256, 128, 64, 32)
+DOWN_FILTERS = convert.DOWN_FILTERS
+UP_FILTERS = convert.UP_FILTERS
 
 
 def make_param(name: str, shape, kind: str) -> np.ndarray:
@@ -50,39 +52,11 @@ def make_param(name: str, shape, kind: str) -> np.ndarray:
     raise ValueError(kind)
 
 
-def generator_param_spec(in_channels: int, out_channels: int):
-    """Ordered (name, shape, kind) for the U-Net, TF kernel layouts.
-
-    ConvTranspose shapes are the KERAS layout (kh, kw, cout, cin); the Flax
-    side flips/swaps per the module docstring contract.
-    """
-    spec = []
-    cin = in_channels
-    for i, f in enumerate(DOWN_FILTERS):
-        spec.append((f"gen/down{i}/conv", (4, 4, cin, f), "conv"))
-        if i != 0:
-            spec.append((f"gen/down{i}/norm/scale", (f,), "scale"))
-            spec.append((f"gen/down{i}/norm/offset", (f,), "offset"))
-        cin = f
-    # decoder input channels: bottleneck 512, then concat(up_i, skip) widths
-    skip_widths = list(reversed(DOWN_FILTERS[:-1])) + [in_channels]
-    for i, f in enumerate(UP_FILTERS):
-        spec.append((f"gen/up{i}/convt", (4, 4, f, cin), "conv"))  # keras layout
-        spec.append((f"gen/up{i}/norm/scale", (f,), "scale"))
-        spec.append((f"gen/up{i}/norm/offset", (f,), "offset"))
-        cin = f + skip_widths[i]
-    spec.append(("gen/head/conv", (4, 4, cin, out_channels), "conv"))
-    spec.append(("gen/head/bias", (out_channels,), "bias"))
-    return spec
-
-
-def discriminator_param_spec(in_channels: int):
-    """Ordered (name, shape, kind) for the PatchGAN (networks.py:39-50)."""
-    return [
-        ("disc/down/conv", (4, 4, 2 * in_channels, 64), "conv"),
-        ("disc/head/conv", (4, 4, 64, 1), "conv"),
-        ("disc/head/bias", (1,), "bias"),
-    ]
+# Specs live in the public converter (models/convert.py) — the golden
+# parity tests build their Flax trees through it, so passing fixtures pin
+# the user-facing keras->Flax weight-conversion path too.
+generator_param_spec = convert.generator_weight_spec
+discriminator_param_spec = convert.discriminator_weight_spec
 
 
 def materialize(spec) -> dict:
@@ -93,35 +67,12 @@ def flax_generator_params(in_channels: int, out_channels: int) -> dict:
     """The Flax UnetGenerator (transpose_impl="lax") param tree holding the
     same function as the keras model built from generator_param_spec."""
     w = materialize(generator_param_spec(in_channels, out_channels))
-    tree = {}
-    for i in range(len(DOWN_FILTERS)):
-        block = {"Conv_0": {"kernel": w[f"gen/down{i}/conv"]}}
-        if i != 0:
-            block["InstanceNorm_0"] = {
-                "scale": w[f"gen/down{i}/norm/scale"],
-                "offset": w[f"gen/down{i}/norm/offset"],
-            }
-        tree[f"DownBlock_{i}"] = block
-    for i in range(len(UP_FILTERS)):
-        k_tf = w[f"gen/up{i}/convt"]
-        k_flax = np.transpose(k_tf[::-1, ::-1], (0, 1, 3, 2)).copy()
-        tree[f"UpBlock_{i}"] = {
-            "ConvTranspose_0": {"kernel": k_flax},
-            "InstanceNorm_0": {
-                "scale": w[f"gen/up{i}/norm/scale"],
-                "offset": w[f"gen/up{i}/norm/offset"],
-            },
-        }
-    tree["Conv_0"] = {"kernel": w["gen/head/conv"], "bias": w["gen/head/bias"]}
-    return tree
+    return convert.generator_tree_from_named(w)
 
 
 def flax_discriminator_params(in_channels: int) -> dict:
     w = materialize(discriminator_param_spec(in_channels))
-    return {
-        "DownBlock_0": {"Conv_0": {"kernel": w["disc/down/conv"]}},
-        "Conv_0": {"kernel": w["disc/head/conv"], "bias": w["disc/head/bias"]},
-    }
+    return convert.discriminator_tree_from_named(w)
 
 
 def parity_input(name: str, shape) -> np.ndarray:
