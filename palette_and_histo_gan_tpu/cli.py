@@ -70,6 +70,21 @@ def build_parser() -> argparse.ArgumentParser:
         choices=["show_discriminator_output", "evaluate_l1", "evaluate_fid"],
     )
     p.add_argument("--resume", action="store_true", help="restore latest checkpoint")
+    p.add_argument(
+        "--init-generator",
+        type=str,
+        default=None,
+        metavar="NPZ",
+        help="start from converted reference generator weights "
+        "(scripts/convert_reference_weights.py output); not with --resume",
+    )
+    p.add_argument(
+        "--init-discriminator",
+        type=str,
+        default=None,
+        metavar="NPZ",
+        help="start from converted reference discriminator weights",
+    )
     p.add_argument("--save-weights", action="store_true")
     p.add_argument("--generate-images", action="store_true")
     return p
@@ -122,11 +137,20 @@ def main(argv=None) -> int:
 
     from .train.trainer import Trainer
 
+    if args.resume and (args.init_generator or args.init_discriminator):
+        raise SystemExit(
+            "--resume and --init-generator/--init-discriminator are mutually "
+            "exclusive (a checkpoint restore would overwrite the import)"
+        )
+
     trainer = Trainer(config)
     starting_step = 0
     if args.resume:
         starting_step = trainer.restore_latest_checkpoint()
         print(f"Resumed from step {starting_step}")
+    if args.init_generator or args.init_discriminator:
+        trainer.import_network_params(args.init_generator, args.init_discriminator)
+        print("Imported converted reference weights")
 
     steps = args.steps if args.steps is not None else config.steps
     update_steps = (

@@ -19,6 +19,7 @@ import time
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import TEST_SIZE, Config
@@ -386,6 +387,63 @@ class Trainer:
     def load_discriminator(self):
         params = ckpt_mod.load_params(self.config, "discriminator", self.state.d_params)
         self.state = self.state.replace(d_params=params)
+
+    def import_network_params(
+        self, generator_npz: str = None, discriminator_npz: str = None
+    ) -> None:
+        """Load converted reference weights (models/convert.py npz files)
+        into the live state, e.g. to fine-tune or generate from a model
+        trained with the TF reference. Optimizer moments and the step
+        counter reset to zero — this is a weight import, not a resume.
+        """
+        from ..models import convert
+
+        def _adopt(tree, current, what):
+            cur_flat = jax.tree_util.tree_leaves_with_path(current)
+            new_flat = {
+                jax.tree_util.keystr(p): leaf
+                for p, leaf in jax.tree_util.tree_leaves_with_path(
+                    jax.tree_util.tree_map(jnp.asarray, tree)
+                )
+            }
+            out = []
+            for path, cur in cur_flat:
+                key = jax.tree_util.keystr(path)
+                if key not in new_flat:
+                    raise ValueError(f"{what}: missing param {key} in npz")
+                leaf = new_flat.pop(key)
+                if leaf.shape != cur.shape:
+                    raise ValueError(
+                        f"{what}: param {key} has shape {leaf.shape}, "
+                        f"expected {cur.shape} — wrong variant?"
+                    )
+                out.append(leaf.astype(cur.dtype))
+            if new_flat:
+                raise ValueError(
+                    f"{what}: unexpected extra params {sorted(new_flat)[:3]}"
+                )
+            return jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(current), out
+            )
+
+        state = self.state
+        if generator_npz:
+            g = _adopt(
+                convert.load_params_npz(generator_npz), state.g_params, "generator"
+            )
+            state = state.replace(g_params=g, g_opt_state=self.models.g_tx.init(g))
+        if discriminator_npz:
+            d = _adopt(
+                convert.load_params_npz(discriminator_npz),
+                state.d_params,
+                "discriminator",
+            )
+            state = state.replace(d_params=d, d_opt_state=self.models.d_tx.init(d))
+        self.state = state
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_mod
+
+            self.state = mesh_mod.replicate_state(self.mesh, self.state)
 
     def restore_latest_checkpoint(self) -> int:
         """Resume from the latest checkpoint; returns the restored step."""

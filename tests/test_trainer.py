@@ -188,3 +188,52 @@ def test_cli_rejects_misaligned_data_roots():
     )
     assert cfg.effective_data_roots == ("/a", "/b")
     assert cfg.dataset_sizes == (100, 200)
+
+
+@needs_data
+def test_import_network_params(tmp_path, monkeypatch):
+    """Converted-weights import (MIGRATION.md flow tail): a convert.py-format
+    npz loads into the live state, optimizer moments reset, and structure or
+    shape mismatches fail loudly."""
+    monkeypatch.chdir(tmp_path)
+    from palette_and_histo_gan_tpu.models import convert
+
+    config = config_for_variant(
+        "baseline-no-aug",
+        donate_state=False,
+        data_root=DATA_ROOT,
+        temp_folder=str(tmp_path / "temp"),
+        down_filters=(8,) * 6,
+        up_filters=(8,) * 6,
+        data_parallel="off",
+    )
+    trainer = trainer_mod.Trainer(config)
+
+    # a distinct weight set in the converter's npz format
+    donor = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + 1.0, trainer.state.g_params
+    )
+    gen_npz = str(tmp_path / "gen_flax.npz")
+    convert.save_params_npz(gen_npz, donor)
+
+    trainer.import_network_params(generator_npz=gen_npz)
+    assert ckpt_mod.params_equal(trainer.state.g_params, donor)
+    # fresh Adam moments: all zeros
+    flat = jax.tree_util.tree_leaves(trainer.state.g_opt_state)
+    assert all(np.all(np.asarray(leaf) == 0) for leaf in flat if hasattr(leaf, "shape"))
+
+    # shape mismatch names the offending param
+    bad = jax.tree_util.tree_map(lambda a: a, donor)
+    bad["DownBlock_0"]["Conv_0"]["kernel"] = np.zeros((4, 4, 4, 16), np.float32)
+    bad_npz = str(tmp_path / "bad.npz")
+    convert.save_params_npz(bad_npz, bad)
+    with pytest.raises(ValueError, match="DownBlock_0"):
+        trainer.import_network_params(generator_npz=bad_npz)
+
+
+def test_cli_resume_and_init_are_exclusive(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from palette_and_histo_gan_tpu import cli
+
+    with pytest.raises(SystemExit, match="mutually"):
+        cli.main(["--resume", "--init-generator", "gen.npz"])
