@@ -439,6 +439,8 @@ class Trainer:
                 "discriminator",
             )
             state = state.replace(d_params=d, d_opt_state=self.models.d_tx.init(d))
+        if generator_npz or discriminator_npz:
+            state = state.replace(step=jnp.zeros_like(state.step))
         self.state = state
         if self.mesh is not None:
             from ..parallel import mesh as mesh_mod

@@ -100,6 +100,8 @@ def main() -> int:
         out = os.path.join(args.out_dir, "discriminator_flax.npz")
         convert.save_params_npz(out, tree)
         print(f"discriminator: {len(arrays)} arrays, {n:,} params -> {out}")
+        if args.verify:
+            _verify_discriminator(cfg, tree)
 
     return 0
 
@@ -119,6 +121,25 @@ def _verify_generator(cfg, tree) -> None:
     )
     print(
         f"verify: forward ok, output {tuple(out.shape)} "
+        f"finite={bool(np.isfinite(np.asarray(out)).all())}"
+    )
+
+
+def _verify_discriminator(cfg, tree) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from palette_and_histo_gan_tpu.models import build_discriminator
+
+    disc = build_discriminator(cfg)
+    c = cfg.discriminator_in_channels
+    target = jnp.zeros((1, 64, 64, c), jnp.float32)
+    source = jnp.zeros((1, 64, 64, c), jnp.float32)
+    out = disc.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, tree)}, target, source
+    )
+    print(
+        f"verify: discriminator forward ok, output {tuple(out.shape)} "
         f"finite={bool(np.isfinite(np.asarray(out)).all())}"
     )
 

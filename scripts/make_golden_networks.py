@@ -33,7 +33,11 @@ os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
 import numpy as np
 import tensorflow as tf
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+# parity_utils imports the package (for the converter specs), so the repo
+# root must be importable alongside tests/ — the package is not pip-installed.
+_repo_root = os.path.join(os.path.dirname(__file__), "..")
+sys.path.insert(0, _repo_root)
+sys.path.insert(0, os.path.join(_repo_root, "tests"))
 import parity_utils as pu  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")

@@ -216,8 +216,13 @@ def test_import_network_params(tmp_path, monkeypatch):
     gen_npz = str(tmp_path / "gen_flax.npz")
     convert.save_params_npz(gen_npz, donor)
 
+    # a non-zero step counter must reset: import is not a resume
+    trainer.state = trainer.state.replace(
+        step=jnp.asarray(7, trainer.state.step.dtype)
+    )
     trainer.import_network_params(generator_npz=gen_npz)
     assert ckpt_mod.params_equal(trainer.state.g_params, donor)
+    assert int(trainer.state.step) == 0
     # fresh Adam moments: all zeros
     flat = jax.tree_util.tree_leaves(trainer.state.g_opt_state)
     assert all(np.all(np.asarray(leaf) == 0) for leaf in flat if hasattr(leaf, "shape"))
