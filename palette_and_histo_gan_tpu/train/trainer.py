@@ -116,6 +116,26 @@ class Trainer:
         self.writer = None
         self.now_string = None
         self._fid = fid_evaluator
+        # wall-time per fit phase, accumulated across the run (the reference
+        # only prints ETA; this answers "where did the schedule's time go" —
+        # train chunks vs previews vs L1/FID vs checkpoints vs TB writes)
+        self.phase_seconds: dict[str, float] = {}
+
+    def _phase(self, name: str):
+        """Context manager accumulating wall time into phase_seconds[name]."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def timer():
+            t0 = time.time()
+            try:
+                yield
+            finally:
+                self.phase_seconds[name] = (
+                    self.phase_seconds.get(name, 0.0) + time.time() - t0
+                )
+
+        return timer()
 
     # -- dataset arrays handed to the scan (sources, targets) ---------------
     def _chunk_dataset(self):
@@ -161,21 +181,25 @@ class Trainer:
 
         while done < steps:
             chunk = min(update_steps, steps - done)
-            self.state, metrics = self.train_chunk(
-                self.state, dataset, self.data_key, chunk
-            )
+            with self._phase("train_chunk"):
+                self.state, metrics = self.train_chunk(
+                    self.state, dataset, self.data_key, chunk
+                )
+                # the chunk dispatch is async; fetching the metrics to host
+                # blocks on the device work, so it belongs to this phase
+                host_metrics = {k: np.asarray(v) for k, v in metrics.items()}
             done += chunk
             current_step = int(self.state.step)
 
             # per-step scalars at the reference's quantized step
             # (pix2pix_model.py:85-89 writes every step at step//update_steps)
-            host_metrics = {k: np.asarray(v) for k, v in metrics.items()}
-            start = current_step - chunk
-            for i in range(chunk):
-                qstep = log_utils.quantize_step(start + i, update_steps)
-                self.writer.scalars(
-                    {k: float(v[i]) for k, v in host_metrics.items()}, qstep
-                )
+            with self._phase("scalar_logging"):
+                start = current_step - chunk
+                for i in range(chunk):
+                    qstep = log_utils.quantize_step(start + i, update_steps)
+                    self.writer.scalars(
+                        {k: float(v[i]) for k, v in host_metrics.items()}, qstep
+                    )
 
             show_eta(
                 training_start, step_start, current_step, starting_step,
@@ -185,8 +209,19 @@ class Trainer:
             self._update_visualization(examples, current_step, update_steps, callbacks)
 
             if current_step % (update_steps * 5) == 0 or done >= steps:
-                ckpt_mod.save(self.manager, self.state)
-                self.manager.wait_until_finished()
+                with self._phase("checkpoint"):
+                    ckpt_mod.save(self.manager, self.state)
+                    self.manager.wait_until_finished()
+
+        total = sum(self.phase_seconds.values())
+        if total > 0:
+            breakdown = "  ".join(
+                f"{k} {v:.1f}s ({100 * v / total:.0f}%)"
+                for k, v in sorted(
+                    self.phase_seconds.items(), key=lambda kv: -kv[1]
+                )
+            )
+            print(f"Phase breakdown: {breakdown}")
 
     # ----------------------------------------------------------------------
     def _update_visualization(self, examples, step, update_steps, callbacks):
@@ -196,24 +231,28 @@ class Trainer:
             self.now_string or "run", f"step_{step:06d}.png",
         )
         print(f"Previewing images generated at step {step} (3 test + 3 train)...")
-        image = self.preview_generated_images(examples, save_name, step)
-        self.writer.image(
-            save_name, image, log_utils.quantize_step(step, update_steps)
-        )
+        with self._phase("preview"):
+            image = self.preview_generated_images(examples, save_name, step)
+            self.writer.image(
+                save_name, image, log_utils.quantize_step(step, update_steps)
+            )
 
         if "show_discriminator_output" in callbacks:
             print("Showing discriminator output patches (2 test + 2 train)...")
-            self.show_discriminated_images("test", 2)
-            self.show_discriminated_images("train", 2)
+            with self._phase("discriminator_debug"):
+                self.show_discriminated_images("test", 2)
+                self.show_discriminated_images("train", 2)
         if "evaluate_l1" in callbacks:
-            l1_train, l1_test = self.report_l1(
-                step=log_utils.quantize_step(step, update_steps)
-            )
+            with self._phase("evaluate_l1"):
+                l1_train, l1_test = self.report_l1(
+                    step=log_utils.quantize_step(step, update_steps)
+                )
             print(f"L1: {l1_train:.5f} / {l1_test:.5f} (train/test)")
         if "evaluate_fid" in callbacks:
-            fid_train, fid_test = self.report_fid(
-                step=log_utils.quantize_step(step, update_steps)
-            )
+            with self._phase("evaluate_fid"):
+                fid_train, fid_test = self.report_fid(
+                    step=log_utils.quantize_step(step, update_steps)
+                )
             print(f"FID: {fid_train:.3f} / {fid_test:.3f} (train/test)")
 
     # -- example selection (pix2pix_model.py:103-110) -----------------------

@@ -44,6 +44,9 @@ def run_variant(variant: str, epochs: int, eval_fid: bool, fid_evaluator):
         "steps_per_second": config.steps / train_time,
         "l1_train": l1_train,
         "l1_test": l1_test,
+        "phase_seconds": {
+            k: round(v, 2) for k, v in trainer.phase_seconds.items()
+        },
     }
     if eval_fid:
         fid_train, fid_test = trainer.report_fid()

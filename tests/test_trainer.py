@@ -116,6 +116,10 @@ def test_trainer_mini_fit(tmp_path, monkeypatch, variant):
     assert int(trainer.state.step) == 4
     # checkpoint written at end
     assert trainer.manager.latest_step() == 4
+    # phase breakdown accumulated every phase the run exercised
+    for phase in ("train_chunk", "preview", "evaluate_l1", "checkpoint",
+                  "scalar_logging"):
+        assert trainer.phase_seconds.get(phase, 0.0) > 0.0, phase
     # logs directory with preview images exists
     log_root = os.path.join(config.temp_folder, "logs", config.architecture_name, config.model)
     assert os.path.isdir(log_root)
