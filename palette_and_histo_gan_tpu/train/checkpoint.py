@@ -45,9 +45,70 @@ def make_manager(config: Config, max_to_keep: int = 1) -> ocp.CheckpointManager:
     )
 
 
+def start_host_transfer(state: TrainState) -> None:
+    """Begin device->host copies for every leaf without blocking.
+
+    Through the remote-device tunnel each device->host read pays a full
+    round trip, and orbax materializes the ~600 TrainState leaves one by
+    one — so a save was latency-bound (measured ~13 s each on v5e through
+    the relay, 55% of an end-to-end training run). Starting every leaf's
+    transfer first turns 600 serial round trips into one pipelined wave;
+    the subsequent np.asarray reads then hit the cached host copies.
+    """
+    for leaf in jax.tree.leaves(state):
+        if hasattr(leaf, "copy_to_host_async"):
+            leaf.copy_to_host_async()
+
+
 def save(manager: ocp.CheckpointManager, state: TrainState) -> None:
     step = int(state.step)
-    manager.save(step, args=ocp.args.StandardSave(state))
+    start_host_transfer(state)
+    host_state = jax.tree.map(np.asarray, state)
+    manager.save(step, args=ocp.args.StandardSave(host_state))
+
+
+class AsyncSaver:
+    """Checkpoint saves that overlap the device->host transfer with training.
+
+    The reference blocks its loop on every checkpoint write
+    (side2side_model.py:121-122 via tf.train.CheckpointManager); at TPU
+    scale the transfer is the cost (the full TrainState is ~350 MB of
+    params + Adam moments). `save(state)` snapshots the state with an
+    on-device copy (donation-safe: the live buffers are consumed by the
+    next train chunk), starts the host transfer, and returns immediately.
+    The orbax write for snapshot k is issued at the next `save()` call or
+    at `flush()` — by then the transfer has completed behind the
+    intervening train chunks. Net effect: the loop never waits on a
+    checkpoint except once at the end of fit.
+    """
+
+    def __init__(self, manager: ocp.CheckpointManager):
+        self.manager = manager
+        self._pending: TrainState | None = None
+        self._copier = None
+
+    def save(self, state: TrainState) -> None:
+        self._flush_pending()
+        if self._copier is None:
+            import jax.numpy as jnp
+
+            # jnp.copy under jit allocates fresh output buffers (no
+            # input-output aliasing without donation), so the snapshot is
+            # immune to the caller's buffers being donated afterwards
+            self._copier = jax.jit(lambda s: jax.tree.map(jnp.copy, s))
+        snapshot = self._copier(state)
+        start_host_transfer(snapshot)
+        self._pending = snapshot
+
+    def _flush_pending(self) -> None:
+        if self._pending is not None:
+            save(self.manager, self._pending)
+            self._pending = None
+
+    def flush(self) -> None:
+        """Write any pending snapshot and block until all writes land."""
+        self._flush_pending()
+        self.manager.wait_until_finished()
 
 
 def restore(manager: ocp.CheckpointManager, reference_state: TrainState) -> TrainState:

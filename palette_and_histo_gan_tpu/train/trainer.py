@@ -113,6 +113,7 @@ class Trainer:
             self.generate_fn = make_generate_fn(config, self.models)
         self.discriminate_fn = make_discriminate_fn(config, self.models)
         self.manager = ckpt_mod.make_manager(config)
+        self._saver = ckpt_mod.AsyncSaver(self.manager)
         self.writer = None
         self.now_string = None
         self._fid = fid_evaluator
@@ -208,10 +209,16 @@ class Trainer:
             step_start = time.time()
             self._update_visualization(examples, current_step, update_steps, callbacks)
 
+            # reference cadence: checkpoint every update_steps*5 and at the
+            # end (side2side_model.py:121-122); the saver snapshots on
+            # device and lets the transfer + write ride behind the next
+            # chunks, so only the post-loop flush ever blocks
             if current_step % (update_steps * 5) == 0 or done >= steps:
                 with self._phase("checkpoint"):
-                    ckpt_mod.save(self.manager, self.state)
-                    self.manager.wait_until_finished()
+                    self._saver.save(self.state)
+
+        with self._phase("checkpoint"):
+            self._saver.flush()
 
         total = sum(self.phase_seconds.values())
         if total > 0:
