@@ -59,6 +59,36 @@ def test_checkpoint_roundtrip(tmp_path, monkeypatch):
     assert ckpt_mod.params_equal(restored.g_opt_state, state.g_opt_state)
 
 
+def test_async_saver_lagged_writes(tmp_path, monkeypatch):
+    """AsyncSaver semantics: the write for snapshot k lands at save k+1 /
+    flush, the snapshot is donation-immune, and restore round-trips."""
+    monkeypatch.chdir(tmp_path)
+    config = config_for_variant(
+        "baseline-no-aug", donate_state=False, temp_folder=str(tmp_path / "tmp")
+    )
+    models = tiny_models(config)
+    state1 = tiny_state(config, models)
+    src, tgt = rgba_batch()
+    from palette_and_histo_gan_tpu.train.steps import rgba_train_step
+
+    state2, _ = rgba_train_step(config, models, state1, src, tgt)
+
+    manager = ckpt_mod.make_manager(config)
+    saver = ckpt_mod.AsyncSaver(manager)
+    saver.save(state1)  # snapshot pending, nothing written yet
+    saver.save(state2)  # flushes snapshot 1, snapshot 2 pending
+    manager.wait_until_finished()
+    assert manager.latest_step() == int(state1.step)
+    # mutating/deleting the live state must not corrupt pending snapshot 2
+    jax.tree.map(lambda x: x.delete() if hasattr(x, "delete") else None, state2)
+    saver.flush()
+    assert manager.latest_step() == 1
+
+    fresh = tiny_state(config, models, seed=99)
+    restored = ckpt_mod.restore(manager, fresh)
+    assert int(restored.step) == 1
+
+
 def test_params_export_import(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     config = config_for_variant("baseline-no-aug")
