@@ -22,6 +22,22 @@ if "xla_force_host_platform_device_count" not in flags:
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
+# build the native PNG decoder if the checkout is fresh (a ~2 s g++ call);
+# tests/test_native.py otherwise skips its 5 tests
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_so = os.path.join(_repo, "palette_and_histo_gan_tpu", "native", "libphg_png.so")
+if not os.path.exists(_so):
+    import subprocess
+    import sys as _sys
+
+    try:
+        subprocess.run(
+            [_sys.executable, os.path.join(_repo, "scripts", "build_native.py")],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass  # no toolchain: the native tests skip, everything else runs
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
