@@ -44,10 +44,16 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import INVALID_INDEX_COLOR, MAX_PALETTE_SIZE
 
-_GRAY_COEFFS = jnp.array([0.2989, 0.5870, 0.1140, 0.0], dtype=jnp.float32)
+# numpy (not jnp) on purpose: a module-level device array would initialize
+# the JAX backend at import, which breaks the multi-host recipe — users must
+# be able to `import palette_and_histo_gan_tpu` and THEN call
+# parallel.distributed.initialize() (jax.distributed requires no backend to
+# exist yet). jnp converts this at trace time. Luma weights: io_utils.py:52.
+_GRAY_COEFFS = np.array([0.2989, 0.5870, 0.1140, 0.0], dtype=np.float32)
 
 
 def pack_rgba(colors: jnp.ndarray) -> jnp.ndarray:
