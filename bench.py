@@ -29,7 +29,10 @@ NORTH_STAR = 20000.0
 V5E_PEAK_FLOPS = 197e12
 
 
-from palette_and_histo_gan_tpu.utils.profiling import device_step_seconds
+from palette_and_histo_gan_tpu.utils.profiling import (
+    device_step_seconds,
+    marginal_step_seconds,
+)
 
 
 def step_flops(config, batch) -> float:
@@ -89,18 +92,16 @@ def main():
     # device occupancy and is immune to relay jitter.
     device_step = device_step_seconds(timed, steps)
 
-    short = max(steps // 4, 1)
-    # fallback/secondary: marginal rate cancels fixed dispatch/fetch
-    # overhead; best-of-3 guards against tunnel/RPC latency spikes
-    best = float("inf")
-    for _ in range(3):
-        t_short = timed(short)
-        t_full = timed(steps)
-        marginal = (t_full - t_short) / (steps - short)
-        if 0 < marginal < best:
-            best = marginal
-    if device_step is not None:
-        best = device_step
+    best = device_step
+    if best is None:
+        # fallback: best-of-3 marginal rate (shared methodology —
+        # utils/profiling.py::marginal_step_seconds)
+        best = marginal_step_seconds(timed, steps)
+    if best is None:
+        raise RuntimeError(
+            "no device trace and all host-marginal samples were "
+            "non-positive (tunnel latency noise); re-run"
+        )
     images_per_sec = batch / best
 
     # MFU from analytic MXU FLOPs of the step (VERDICT r1 #9)

@@ -161,10 +161,11 @@ class Config:
     # augmentation implementation: "xla" (ops/augment.py one-hot-matmul
     # shift), "pallas" (ops/augment_pallas.py fused one-pass kernel:
     # hue + shift + select + normalize in VMEM, uint8 in / f32 out), or
-    # "auto" (pallas on single-chip TPU — device-clock A/B: baseline step
-    # 38.85 -> 35.54 ms; xla elsewhere: Mosaic doesn't run on CPU, and a
-    # pallas_call under GSPMD sharding is not auto-partitioned, so the
-    # multi-chip DP path keeps the XLA form)
+    # "auto" (pallas on TPU — device-clock A/B: baseline step
+    # 38.85 -> 35.54 ms — both single-chip and under a DP mesh, where the
+    # kernel rides shard_map (augment_batch_pallas_sharded) because GSPMD
+    # does not auto-partition a pallas_call; xla on CPU, where Mosaic
+    # kernels don't run)
     augment_impl: str = "auto"
 
     # network widths (reference: networks.py:57-73); overridable so tests and

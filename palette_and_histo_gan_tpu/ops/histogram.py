@@ -500,6 +500,11 @@ def calculate_rgbuv_histogram(
     flat = jnp.reshape(image_batch, (b, -1, 3))  # (B, HW, 3)
 
     if fused_vjp:
+        if bwd not in _BWD_CORES:
+            raise ValueError(
+                f"unknown histogram_bwd {bwd!r}; "
+                f"valid: {sorted(_BWD_CORES)}"
+            )
         core = _BWD_CORES[bwd]
         histograms = core(flat, size, method, sigma, jnp.dtype(dtype))
     else:

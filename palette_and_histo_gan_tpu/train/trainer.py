@@ -167,6 +167,15 @@ class Trainer:
         try:
             self._do_fit(steps, update_steps, callbacks, starting_step)
         finally:
+            # Durability on the exception path: a crash mid-chunk must not
+            # lose a checkpoint whose snapshot already landed — without this
+            # the lagged write leaves the latest durable checkpoint up to two
+            # cadences stale. Guarded so a flush failure (e.g. the tunnel
+            # outage that caused the crash) can't mask the original error.
+            try:
+                self._saver.flush()
+            except Exception as e:
+                print(f"checkpoint flush on exit failed: {e!r}")
             self.writer.flush()
 
     def _do_fit(self, steps, update_steps, callbacks, starting_step):

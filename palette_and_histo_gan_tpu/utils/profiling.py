@@ -73,8 +73,12 @@ def device_step_seconds(timed_fn, steps: int) -> float | None:
                 continue
         if xplane_pb2 is None:
             return None
-        total = 0.0
-        found = False
+        # Per-plane totals: with DP over ndev devices each plane's op sum is
+        # ~one full step of device time running CONCURRENTLY with the others,
+        # so summing planes would report ~ndev x the true step time. The
+        # step's device occupancy is the slowest plane (devices run the same
+        # SPMD program in lockstep between collectives).
+        per_plane: dict = {}
         for path in glob.glob(
             os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True
         ):
@@ -92,13 +96,42 @@ def device_step_seconds(timed_fn, steps: int) -> float | None:
                         name = meta[ev.metadata_id].name
                         if name.startswith(("%while", "jit_", "%jit")):
                             continue
-                        total += ev.duration_ps / 1e12
-                        found = True
-        return total / steps if found and total > 0 else None
+                        per_plane[plane.name] = (
+                            per_plane.get(plane.name, 0.0)
+                            + ev.duration_ps / 1e12
+                        )
+        if not per_plane:
+            return None
+        total = max(per_plane.values())
+        return total / steps if total > 0 else None
     except Exception:
         return None
     finally:
         shutil.rmtree(log_dir, ignore_errors=True)
+
+
+def marginal_step_seconds(
+    timed_fn, steps: int, tries: int = 3
+) -> float | None:
+    """Best-of-N host marginal-rate seconds/step: (t_full - t_short)/Δsteps.
+
+    The SECONDARY benchmark clock, used only when `device_step_seconds`
+    can't produce a trace. Marginal rate cancels fixed dispatch/fetch
+    overhead; best-of-N keeps only positive marginals because tunnel RPC
+    latency spikes can make a single difference negative. Returns None when
+    every sample is non-positive (callers decide whether to raise or
+    record the failure) — one methodology for bench.py, scripts/sweep.py,
+    and scripts/bench_infer.py.
+    """
+    short = max(steps // 4, 1)
+    best = float("inf")
+    for _ in range(tries):
+        t_short = timed_fn(short)
+        t_full = timed_fn(steps)
+        marginal = (t_full - t_short) / (steps - short)
+        if 0 < marginal < best:
+            best = marginal
+    return None if best == float("inf") else best
 
 
 class StepTimer:

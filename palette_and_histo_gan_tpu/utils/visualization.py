@@ -48,7 +48,12 @@ def _grid_figure(num_images: int, num_columns: int, img_shape: tuple):
         row = []
         for j in range(num_columns):
             ax = figure.add_subplot(num_images, num_columns, i * num_columns + j + 1)
-            text = ax.set_title("", fontdict={"fontsize": 24})
+            # representative text (not empty) so tight_layout below reserves
+            # the top-row title space; real titles are set_text per call
+            text = ax.set_title(
+                "Generated (0.0k)" if i == 0 else "",
+                fontdict={"fontsize": 24},
+            )
             if i == 0:
                 titles.append(text)
             row.append(ax.imshow(placeholder))

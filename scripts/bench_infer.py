@@ -133,7 +133,10 @@ def run(
 
     # PRIMARY clock: device-trace XLA-op sum, one shared parser with
     # bench.py/sweep.py/trace_ops.py (utils/profiling.py)
-    from palette_and_histo_gan_tpu.utils.profiling import device_step_seconds
+    from palette_and_histo_gan_tpu.utils.profiling import (
+        device_step_seconds,
+        marginal_step_seconds,
+    )
 
     sec_per_batch = device_step_seconds(timed, steps)
 
@@ -147,23 +150,14 @@ def run(
         "clock": "device-trace",
     }
     if sec_per_batch is None:
-        # fallback: best-of-3 host marginal rate; tunnel RPC latency spikes
-        # can make a single (t_full - t_short) difference negative, so keep
-        # only positive marginals (same guard as scripts/sweep.py)
-        short = max(steps // 4, 1)
-        best = float("inf")
-        for _ in range(3):
-            t_short = timed(short)
-            t_full = timed(steps)
-            marginal = (t_full - t_short) / (steps - short)
-            if 0 < marginal < best:
-                best = marginal
-        if best == float("inf"):
+        # fallback: shared best-of-3 host marginal methodology
+        # (utils/profiling.py::marginal_step_seconds)
+        sec_per_batch = marginal_step_seconds(timed, steps)
+        if sec_per_batch is None:
             raise RuntimeError(
                 "no device trace and all host-marginal samples were "
                 "non-positive (tunnel latency noise); re-run"
             )
-        sec_per_batch = best
         result["clock"] = "host-marginal"
     result["ms_per_batch"] = round(sec_per_batch * 1e3, 3)
     result["images_per_sec"] = round(batch / sec_per_batch, 1)

@@ -81,23 +81,21 @@ def measure_variant(
     timed(2)  # compile + warmup
 
     # PRIMARY clock: device-trace XLA-op sum (same as bench.py/trace_ops.py)
-    from palette_and_histo_gan_tpu.utils.profiling import device_step_seconds
+    from palette_and_histo_gan_tpu.utils.profiling import (
+        device_step_seconds,
+        marginal_step_seconds,
+    )
 
     device_step = device_step_seconds(timed, steps)
 
-    if device_step is not None:
-        best = device_step
-    else:
-        short = max(steps // 4, 1)
-        # fallback: best-of-3 marginal rate (tunnel RPC latency spikes can
-        # make a single (t_full - t_short) difference negative)
-        best = float("inf")
-        for _ in range(3):
-            t_short = timed(short)
-            t_full = timed(steps)
-            marginal = (t_full - t_short) / (steps - short)
-            if 0 < marginal < best:
-                best = marginal
+    best = device_step
+    if best is None:
+        best = marginal_step_seconds(timed, steps)
+    if best is None:
+        raise RuntimeError(
+            "no device trace and all host-marginal samples were "
+            "non-positive (tunnel latency noise); re-run"
+        )
     record = {
         "variant": variant,
         "batch": batch,
