@@ -73,41 +73,53 @@ def device_step_seconds(timed_fn, steps: int) -> float | None:
                 continue
         if xplane_pb2 is None:
             return None
-        # Per-plane totals: with DP over ndev devices each plane's op sum is
-        # ~one full step of device time running CONCURRENTLY with the others,
-        # so summing planes would report ~ndev x the true step time. The
-        # step's device occupancy is the slowest plane (devices run the same
-        # SPMD program in lockstep between collectives).
-        per_plane: dict = {}
-        for path in glob.glob(
-            os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True
-        ):
-            xs = xplane_pb2.XSpace()
-            with open(path, "rb") as f:
-                xs.ParseFromString(f.read())
-            for plane in xs.planes:
-                if not plane.name.startswith("/device:TPU"):
-                    continue
-                meta = plane.event_metadata
-                for line in plane.lines:
-                    if line.name != "XLA Ops":  # leaf compute ops only
-                        continue
-                    for ev in line.events:
-                        name = meta[ev.metadata_id].name
-                        if name.startswith(("%while", "jit_", "%jit")):
-                            continue
-                        per_plane[plane.name] = (
-                            per_plane.get(plane.name, 0.0)
-                            + ev.duration_ps / 1e12
-                        )
-        if not per_plane:
+        total = parse_trace_device_seconds(log_dir, xplane_pb2)
+        if total is None:
             return None
-        total = max(per_plane.values())
         return total / steps if total > 0 else None
     except Exception:
         return None
     finally:
         shutil.rmtree(log_dir, ignore_errors=True)
+
+
+def parse_trace_device_seconds(log_dir: str, xplane_pb2) -> float | None:
+    """Device seconds of the slowest TPU plane in a profiler trace dir.
+
+    Per-plane totals: with DP over ndev devices each plane's op sum is
+    ~one full step of device time running CONCURRENTLY with the others,
+    so summing planes would report ~ndev x the true step time. The step's
+    device occupancy is the slowest plane (devices run the same SPMD
+    program in lockstep between collectives).
+    """
+    import glob
+    import os
+
+    per_plane: dict = {}
+    for path in glob.glob(
+        os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True
+    ):
+        xs = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            meta = plane.event_metadata
+            for line in plane.lines:
+                if line.name != "XLA Ops":  # leaf compute ops only
+                    continue
+                for ev in line.events:
+                    name = meta[ev.metadata_id].name
+                    if name.startswith(("%while", "jit_", "%jit")):
+                        continue
+                    per_plane[plane.name] = (
+                        per_plane.get(plane.name, 0.0)
+                        + ev.duration_ps / 1e12
+                    )
+    if not per_plane:
+        return None
+    return max(per_plane.values())
 
 
 def marginal_step_seconds(

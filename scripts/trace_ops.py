@@ -101,6 +101,7 @@ def aggregate(log_dir: str, top: int, steps: int):
     by_name = collections.Counter()
     full_line = {}
     total = 0.0
+    tpu_planes = set()
     for path in paths:
         xspace = xplane_pb2.XSpace()
         with open(path, "rb") as f:
@@ -108,6 +109,7 @@ def aggregate(log_dir: str, top: int, steps: int):
         for plane in xspace.planes:
             if not plane.name.startswith("/device:TPU"):
                 continue
+            tpu_planes.add(plane.name)
             meta = plane.event_metadata
             for line in plane.lines:
                 # leaf compute ops only; 'Async XLA Ops' (prefetch copies)
@@ -126,6 +128,15 @@ def aggregate(log_dir: str, top: int, steps: int):
     if not by_name:
         print("no XLA op events found in trace")
         return
+    if len(tpu_planes) > 1:
+        # per-op durations are summed ACROSS the concurrent device planes,
+        # so totals here are device-time (ndev x step wall time), not
+        # step time — use utils.profiling.device_step_seconds (slowest
+        # plane) for the step clock on a mesh
+        print(
+            f"note: {len(tpu_planes)} TPU planes in trace; per-op sums "
+            "aggregate all devices (device-time, not step time)"
+        )
 
     # map op -> source component via HLO op_name metadata from the exact
     # compiled program (written by capture()); fusions without their own
