@@ -1,7 +1,7 @@
 """Device-mesh parallelism: mesh construction and data-parallel train steps."""
 
 from .distributed import global_mesh_info, initialize
-from .dp import make_dp_generate_fn, make_dp_train_step
+from .dp import make_dp_generate_fn, make_dp_train_chunk, make_dp_train_step
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -15,6 +15,7 @@ __all__ = [
     "global_mesh_info",
     "initialize",
     "make_dp_generate_fn",
+    "make_dp_train_chunk",
     "make_dp_train_step",
     "batch_sharding",
     "make_mesh",

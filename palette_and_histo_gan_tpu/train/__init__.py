@@ -7,7 +7,12 @@ from .losses import (
     generator_loss,
 )
 from .state import Models, TrainState, build_models, create_train_state, param_count
-from .steps import make_discriminate_fn, make_generate_fn, make_train_step
+from .steps import (
+    make_discriminate_fn,
+    make_generate_fn,
+    make_train_chunk,
+    make_train_step,
+)
 
 __all__ = [
     "bce_with_logits",
@@ -21,5 +26,6 @@ __all__ = [
     "param_count",
     "make_discriminate_fn",
     "make_generate_fn",
+    "make_train_chunk",
     "make_train_step",
 ]
