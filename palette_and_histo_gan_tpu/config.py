@@ -195,6 +195,65 @@ class Config:
     # bookkeeping
     temp_folder: str = TEMP_FOLDER
 
+    def __post_init__(self):
+        """Fail at construction, not at trace time deep inside a jit."""
+        _check = {
+            "model": (self.model, MODEL_VARIANTS),
+            "palette_ordering": (
+                self.palette_ordering,
+                ("top2bottom", "bottom2top", "grayness", "shuffled"),
+            ),
+            "histogram_method": (
+                self.histogram_method, ("RBF", "inverse-quadratic")
+            ),
+            "histogram_bwd": (
+                self.histogram_bwd,
+                ("tri", "dual", "tri2", "tri2b", "tri2c", "pallas"),
+            ),
+            "histogram_impl": (
+                self.histogram_impl, ("xla", "pallas", "pallas2")
+            ),
+            "augment_impl": (self.augment_impl, ("auto", "xla", "pallas")),
+            "transpose_impl": (
+                self.transpose_impl, ("lax", "lax_flipgrad", "subpixel")
+            ),
+            "head_conv": (
+                self.head_conv, ("swapgrad", "narrow", "dup8", "nchw")
+            ),
+            "infer_head_conv": (self.infer_head_conv, ("train", "nchw")),
+            "compute_dtype": (
+                self.compute_dtype, ("float32", "bfloat16")
+            ),
+            "data_parallel": (self.data_parallel, ("auto", "on", "off")),
+        }
+        for field, (value, valid) in _check.items():
+            if value not in valid:
+                raise ValueError(
+                    f"config.{field}={value!r}; valid: {valid}"
+                )
+        for field in ("source_direction", "target_direction"):
+            if getattr(self, field) not in range(len(DIRECTIONS)):
+                raise ValueError(
+                    f"config.{field}={getattr(self, field)!r}; valid: 0-3 "
+                    f"({', '.join(DIRECTIONS)})"
+                )
+        if self.data_roots and len(self.data_roots) != len(self.dataset_sizes):
+            raise ValueError(
+                f"data_roots has {len(self.data_roots)} roots but "
+                f"dataset_sizes has {len(self.dataset_sizes)} entries; "
+                "they must align 1:1"
+            )
+        if self.batch_size < 1 or self.epochs < 1:
+            raise ValueError(
+                f"batch_size ({self.batch_size}) and epochs ({self.epochs}) "
+                "must be >= 1"
+            )
+        if len(self.down_filters) != len(self.up_filters):
+            raise ValueError(
+                f"down_filters ({len(self.down_filters)}) and up_filters "
+                f"({len(self.up_filters)}) must have the same depth"
+            )
+
     @property
     def architecture_name(self) -> str:
         return (
