@@ -144,10 +144,11 @@ def test_multi_dataset_concat(tmp_path):
 
 
 def test_dataset_sizes_mismatch_raises(tmp_path):
-    config = config_for_variant(
-        "baseline-no-aug",
-        data_roots=(str(tmp_path),),
-        dataset_sizes=(10, 12),
-    )
-    with pytest.raises(ValueError):
-        loader.load_concat_split(config, "train", 2)
+    # misaligned roots/sizes now fail at Config construction (config.py::
+    # __post_init__), before any loader code runs
+    with pytest.raises(ValueError, match="align 1:1"):
+        config_for_variant(
+            "baseline-no-aug",
+            data_roots=(str(tmp_path),),
+            dataset_sizes=(10, 12),
+        )
