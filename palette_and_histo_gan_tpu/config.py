@@ -237,11 +237,19 @@ class Config:
                     f"config.{field}={getattr(self, field)!r}; valid: 0-3 "
                     f"({', '.join(DIRECTIONS)})"
                 )
-        if self.data_roots and len(self.data_roots) != len(self.dataset_sizes):
+        # Validate against the *effective* roots so a dataset_sizes override
+        # misaligned with the single default data_root also fails here, at
+        # construction, instead of later inside the loader.
+        if len(self.effective_data_roots) != len(self.dataset_sizes):
             raise ValueError(
-                f"data_roots has {len(self.data_roots)} roots but "
-                f"dataset_sizes has {len(self.dataset_sizes)} entries; "
-                "they must align 1:1"
+                f"data roots ({len(self.effective_data_roots)}: "
+                f"{self.effective_data_roots}) and dataset_sizes "
+                f"({len(self.dataset_sizes)}: {self.dataset_sizes}) must "
+                "align 1:1; pass --data-roots/--dataset-sizes together"
+            )
+        if any(n < 1 for n in self.dataset_sizes):
+            raise ValueError(
+                f"dataset_sizes entries must be >= 1, got {self.dataset_sizes}"
             )
         if self.batch_size < 1 or self.epochs < 1:
             raise ValueError(

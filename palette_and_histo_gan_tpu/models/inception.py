@@ -167,9 +167,6 @@ def load_params(rng: jax.Array | None = None, input_size: int = 299):
     if rng is None:
         rng = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
-    variables = jax.eval_shape(model.init, rng, dummy)
-    # materialize lazily but deterministically (init for real; eval_shape was
-    # only to keep memory flat if callers want shapes)
     variables = model.init(rng, dummy)
     return model, variables
 

@@ -163,7 +163,12 @@ def rgba_to_indexed(image: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
 def indexed_to_rgba(indexed_image: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
     """(H, W, 1) index map + (256, C) palette -> (H, W, C) image.
 
-    Matches io_utils.py:96-103 (gather + reshape).
+    Matches io_utils.py:96-103 (gather + reshape). Divergence (documented):
+    for the scatter-sum quirk's out-of-range labels (> 255, see
+    rgba_to_indexed) JAX's gather clamps to the last palette entry, while
+    the reference's tf.gather would raise on CPU — the reference cannot
+    decode such a map at all, so any in-bounds behavior here is new surface,
+    and clamping is the benign choice.
     """
     h, w = indexed_image.shape[0], indexed_image.shape[1]
     out = palette[indexed_image.reshape(-1)]

@@ -41,11 +41,26 @@ def _select_label(labels: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     On TPU a masked sum beats take_along_axis (gathers are slow) and avoids
     materializing a float one-hot tensor; the bool mask fuses into the
     reduction. Exact for any values (exactly one mask element is true per
-    position)."""
+    position). Out-of-range labels select nothing and return 0 — callers
+    that need tf.one_hot's all-zero-row semantics must mask with
+    `_valid_label` themselves."""
     classes = values.shape[-1]
     class_ids = jax.lax.broadcasted_iota(jnp.int32, (classes,), 0)
     mask = labels[..., None] == class_ids
     return jnp.sum(jnp.where(mask, values, 0.0), axis=-1)
+
+
+def _valid_label(labels: jnp.ndarray, classes: int) -> jnp.ndarray:
+    """True where tf.one_hot(label, classes) has a one (i.e. 0 <= label < C).
+
+    The indexed dataset can produce labels > 255: rgba_to_indexed reproduces
+    the reference's tf.scatter_nd index-sum quirk (ops/palette.py), so a pixel
+    matching its palette slot *and* hotpink filler slots gets the SUM of the
+    matching indices. The reference then takes tf.one_hot(label, 256)
+    (pix2pix_model.py:300), whose out-of-range rows are all-zero — keras CCE
+    contributes 0 there and |onehot - probs| contributes sum(p). The sparse
+    forms below reproduce exactly that."""
+    return (labels >= 0) & (labels < classes)
 
 
 _select_label_prob = _select_label  # historical name
@@ -56,22 +71,29 @@ def sparse_categorical_crossentropy_probs(
 ) -> jnp.ndarray:
     """Same value as categorical_crossentropy_probs(one_hot(labels), probs),
     but the log runs only on the (B, H, W) selected entries instead of the
-    full (B, H, W, 256) tensor: renormalize, clip, -log, mean."""
+    full (B, H, W, 256) tensor: renormalize, clip, -log, mean.
+
+    Out-of-range labels (see _valid_label) contribute 0, matching keras CCE
+    on tf.one_hot's all-zero row."""
     total = jnp.sum(probs, axis=-1)
     p_t = _select_label_prob(labels, probs)
     p_t = jnp.clip(p_t / total, KERAS_EPSILON, 1.0 - KERAS_EPSILON)
-    return jnp.mean(-jnp.log(p_t))
+    valid = _valid_label(labels, probs.shape[-1])
+    return jnp.mean(jnp.where(valid, -jnp.log(p_t), 0.0))
 
 
 def onehot_l1_probs(labels: jnp.ndarray, probs: jnp.ndarray) -> jnp.ndarray:
     """mean |one_hot(labels) - probs| without the |.| over the full tensor.
 
     With p >= 0: sum_c |1[c=t] - p_c| = (1 - p_t) + (sum_c p_c - p_t), so the
-    class-mean is (1 + sum p - 2 p_t) / C — exact, not an approximation."""
+    class-mean is (1 + sum p - 2 p_t) / C — exact, not an approximation.
+    Out-of-range labels have an all-zero one-hot row (see _valid_label), so
+    their class-sum is just sum_c p_c."""
     c = probs.shape[-1]
     total = jnp.sum(probs, axis=-1)
     p_t = _select_label_prob(labels, probs)
-    return jnp.mean((1.0 + total - 2.0 * p_t) / c)
+    valid = _valid_label(labels, c)
+    return jnp.mean(jnp.where(valid, 1.0 + total - 2.0 * p_t, total) / c)
 
 
 # ---------------------------------------------------------------------------
@@ -94,6 +116,9 @@ def sparse_categorical_crossentropy_logits(
     -log(1-eps), -log(eps)). jnp.clip's zero-gradient-outside-bounds matches
     keras' clip_by_value exactly (both kill the gradient where the clip
     binds). Equality with the probs form is asserted in tests/test_losses.py.
+
+    Out-of-range labels (scatter-sum quirk, see _valid_label) contribute 0
+    with a zero gradient — exactly keras CCE on the all-zero one-hot row.
     """
     lse = jax.scipy.special.logsumexp(
         logits.astype(jnp.float32), axis=-1
@@ -102,18 +127,23 @@ def sparse_categorical_crossentropy_logits(
     neg_logp = lse - z_t
     lo = -jnp.log1p(-KERAS_EPSILON)  # binds when p_t > 1 - eps
     hi = -jnp.log(KERAS_EPSILON)  # binds when p_t < eps
-    return jnp.mean(jnp.clip(neg_logp, lo, hi))
+    valid = _valid_label(labels, logits.shape[-1])
+    return jnp.mean(jnp.where(valid, jnp.clip(neg_logp, lo, hi), 0.0))
 
 
 def onehot_l1_logits(labels: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
     """Same value as onehot_l1_probs(labels, softmax(logits)): with
     total == 1 the class-mean is 2 * (1 - p_t) / C, and
-    p_t = exp(z_t - logsumexp(z))."""
+    p_t = exp(z_t - logsumexp(z)).
+
+    Out-of-range labels (see _valid_label) contribute sum(p)/C = 1/C with a
+    zero gradient (d sum(softmax)/dz = 0), matching |all-zero - probs|."""
     c = logits.shape[-1]
     lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
     z_t = _select_label(labels, logits).astype(jnp.float32)
     p_t = jnp.exp(z_t - lse)
-    return jnp.mean(2.0 * (1.0 - p_t) / c)
+    valid = _valid_label(labels, c)
+    return jnp.mean(jnp.where(valid, 2.0 * (1.0 - p_t), 1.0) / c)
 
 
 def generator_loss(

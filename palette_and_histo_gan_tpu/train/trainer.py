@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import TEST_SIZE, Config
+from ..config import Config
 from ..data.loader import (
     IndexedDataset,
     RgbaDataset,
@@ -365,7 +365,12 @@ class Trainer:
         return outputs
 
     # -- evaluation (side2side_model.py:144-176) ----------------------------
-    def report_l1(self, num_images: int = TEST_SIZE, step=None):
+    def report_l1(self, num_images: int | None = None, step=None):
+        # Default follows the config's test-split size (the reference derives
+        # TEST_SIZE from its dataset configuration, configuration.py:17-20) —
+        # not the module constant, which only matches the default datasets.
+        if num_images is None:
+            num_images = sum(self.config.test_sizes)
         rng = jax.random.PRNGKey(self.config.seed + 2)
         train_value, test_value = eval_metrics.report_l1(
             self.config, self.models, self.state,
@@ -379,7 +384,9 @@ class Trainer:
             )
         return train_value, test_value
 
-    def report_fid(self, num_images: int = TEST_SIZE, step=None):
+    def report_fid(self, num_images: int | None = None, step=None):
+        if num_images is None:
+            num_images = sum(self.config.test_sizes)
         if self._fid is None:
             from ..eval.fid import FidEvaluator
 

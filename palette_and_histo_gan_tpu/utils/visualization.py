@@ -64,6 +64,20 @@ def _grid_figure(num_images: int, num_columns: int, img_shape: tuple):
     return _GRID_CACHE[key]
 
 
+def _show_unit(img: np.ndarray) -> np.ndarray:
+    """Display scaling for values_in_unit_range callers.
+
+    Integer-dtype images (palette decodes: int32/uint8 palette entries) are
+    on the 0-255 scale regardless of how dark they are; float images are
+    already unit-range. A dtype check — not a magnitude heuristic — so a
+    legitimately near-black decoded sprite (all values <= 1) still divides
+    by 255 instead of rendering value-1 pixels at full brightness."""
+    img = np.asarray(img)
+    if np.issubdtype(img.dtype, np.integer):
+        img = img / 255.0
+    return np.clip(img, 0.0, 1.0)
+
+
 def _write_png(data: np.ndarray, save_name: str) -> None:
     from PIL import Image
 
@@ -101,9 +115,7 @@ def preview_grid(
         for j in range(num_columns):
             img = np.asarray(images[j])
             if values_in_unit_range:
-                img = np.clip(
-                    img / 255.0 if img.max() > 1.5 else img, 0.0, 1.0
-                )
+                img = _show_unit(img)
             else:
                 img = _to_display(img)
             axes_images[i][j].set_data(img)
@@ -152,7 +164,7 @@ def discriminator_debug_figure(
 
     def show(img):
         if values_in_unit_range:
-            return np.clip(img / 255.0 if np.asarray(img).max() > 1.5 else img, 0, 1)
+            return _show_unit(img)
         return _to_display(img)
 
     panels = [

@@ -48,6 +48,12 @@ def test_misaligned_data_roots_raise():
         Config(data_roots=("a", "b"), dataset_sizes=(294,))
     # aligned multi-root is fine
     Config(data_roots=("a", "b"), dataset_sizes=(294, 100))
+    # a dataset_sizes override misaligned with the single DEFAULT root must
+    # also fail at construction, not later in the loader
+    with pytest.raises(ValueError, match="align 1:1"):
+        Config(dataset_sizes=(100, 200))
+    with pytest.raises(ValueError, match=">= 1"):
+        Config(dataset_sizes=(0,))
 
 
 def test_bad_schedule_and_depths_raise():

@@ -87,6 +87,71 @@ def test_onehot_l1_matches_dense():
     np.testing.assert_allclose(sparse, dense, rtol=1e-5)
 
 
+def test_out_of_range_labels_match_tf_one_hot_semantics():
+    """The rgba_to_indexed scatter-sum quirk can emit labels > 255
+    (ops/palette.py; reference tf.scatter_nd index-sum). The reference takes
+    tf.one_hot(label, 256) whose out-of-range rows are ALL-ZERO
+    (pix2pix_model.py:300): keras CCE contributes 0 there, |onehot - probs|
+    contributes sum(p). All four sparse forms must reproduce the dense keras
+    value — jax.nn.one_hot has the same zero-row semantics, so the dense
+    forms are the oracle."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    c = 16
+    probs = jnp.asarray(rng.random((2, 4, 4, c)), jnp.float32)
+    probs = probs / jnp.sum(probs, -1, keepdims=True)
+    labels = np.asarray(rng.integers(0, c, (2, 4, 4)), np.int32)
+    labels[0, 0, 0] = c + 5  # scatter-sum collision
+    labels[1, 2, 3] = 2 * c  # another out-of-range value
+    labels = jnp.asarray(labels)
+    onehot = jax.nn.one_hot(labels, c, dtype=jnp.float32)  # zero rows OOR
+
+    # probs forms vs dense keras forms
+    dense_cce = losses.categorical_crossentropy_probs(onehot, probs)
+    np.testing.assert_allclose(
+        losses.sparse_categorical_crossentropy_probs(labels, probs),
+        dense_cce,
+        rtol=1e-6,
+    )
+    dense_l1 = jnp.mean(jnp.abs(onehot - probs))
+    np.testing.assert_allclose(
+        losses.onehot_l1_probs(labels, probs), dense_l1, rtol=1e-5
+    )
+
+    # logits forms vs the same dense forms composed with softmax
+    logits = jnp.asarray(rng.normal(0, 3, (2, 4, 4, c)), jnp.float32)
+    sm = jax.nn.softmax(logits, axis=-1)
+    np.testing.assert_allclose(
+        losses.sparse_categorical_crossentropy_logits(labels, logits),
+        losses.categorical_crossentropy_probs(onehot, sm),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        losses.onehot_l1_logits(labels, logits),
+        jnp.mean(jnp.abs(onehot - sm)),
+        rtol=1e-5,
+    )
+
+    # gradient parity: the TF graph's gradient through an all-zero one-hot
+    # row is (numerically) zero for both terms; ours must match the dense
+    # autodiff exactly.
+    def dense_form(z):
+        p = jax.nn.softmax(z, axis=-1)
+        return losses.categorical_crossentropy_probs(
+            onehot, p
+        ) + jnp.mean(jnp.abs(onehot - p))
+
+    def sparse_form(z):
+        return losses.sparse_categorical_crossentropy_logits(
+            labels, z
+        ) + losses.onehot_l1_logits(labels, z)
+
+    g_dense = jax.grad(dense_form)(logits)
+    g_sparse = jax.grad(sparse_form)(logits)
+    np.testing.assert_allclose(g_sparse, g_dense, rtol=1e-4, atol=1e-6)
+
+
 def test_logits_cce_matches_probs_form():
     """The log-space CCE (the indexed train path) equals the keras probs form
     composed with softmax — values and gradients (pix2pix_model.py:265)."""

@@ -157,3 +157,18 @@ def test_generate_fn_shapes():
     gen_i = steps_mod.make_generate_fn(config_i, models_i)
     out = gen_i(state_i.g_params, jnp.zeros((2, 64, 64, 1), jnp.int32), jax.random.PRNGKey(0))
     assert out.shape == (2, 64, 64, 1) and out.dtype == jnp.int32
+
+
+def test_resolve_augment_impl(monkeypatch):
+    """"auto" picks Pallas on TPU regardless of host device count (a
+    mesh-less jit still runs on ONE device, so the unsharded pallas_call is
+    safe) and XLA on CPU; explicit values pass through untouched."""
+    config = config_for_variant("baseline")
+    assert steps_mod._resolve_augment_impl(config, mesh=None) == "xla"  # CPU
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert steps_mod._resolve_augment_impl(config, mesh=None) == "pallas"
+    assert steps_mod._resolve_augment_impl(config, mesh=object()) == "pallas"
+
+    explicit = config.replace(augment_impl="xla")
+    assert steps_mod._resolve_augment_impl(explicit, mesh=None) == "xla"
