@@ -172,3 +172,24 @@ def test_resolve_augment_impl(monkeypatch):
 
     explicit = config.replace(augment_impl="xla")
     assert steps_mod._resolve_augment_impl(explicit, mesh=None) == "xla"
+
+
+def test_indexed_step_finite_with_out_of_range_labels():
+    """A target map containing a scatter-sum-collision label (> 255, from a
+    sprite pixel equal to the hotpink filler — see ops/palette.py::
+    rgba_to_indexed) must train with finite losses: the reference one-hots
+    such labels to an all-zero row (pix2pix_model.py:300) and the log-space
+    losses reproduce that (train/losses.py::_valid_label)."""
+    config = config_for_variant("indexed", donate_state=False)
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+    rng = np.random.default_rng(13)
+    src = jnp.asarray(rng.integers(0, 16, (2, 64, 64, 1)), jnp.int32)
+    tgt = np.asarray(rng.integers(0, 16, (2, 64, 64, 1)), np.int32)
+    tgt[0, 0, 0, 0] = 301  # e.g. index 46 + filler slot 255 collision
+    tgt = jnp.asarray(tgt)
+
+    new_state, metrics = steps_mod.indexed_train_step(config, models, state, src, tgt)
+    for name, value in metrics.items():
+        assert np.isfinite(float(value)), (name, float(value))
+    assert _max_param_delta(state.g_params, new_state.g_params) > 0
