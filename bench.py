@@ -65,7 +65,9 @@ def main():
 
     # synthetic HBM-resident dataset with the real pipeline shape; the chunk
     # samples/augments/normalizes on device exactly as training does
-    n_data = 1024
+    # pool >= batch so batch_indices never wraps duplicate rows into one
+    # batch (matches sweep.py/trace_ops.py methodology)
+    n_data = max(1024, batch)
     rng = np.random.default_rng(0)
     dataset = (
         jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
@@ -83,7 +85,11 @@ def main():
         float(mm["generator/total_loss"][-1])
         return time.perf_counter() - t0
 
-    timed(2)  # compile + warmup
+    # compile + warmup with the SAME num_steps program that gets measured:
+    # num_steps is a static argument of the chunk jit, so timed(2) would
+    # compile a throwaway program and leave the real one to compile cold
+    # inside the profiler trace
+    timed(steps)
 
     # PRIMARY clock: device-side XLA-op time from a profiler trace. Host-side
     # wall timing through the tunneled backend has shown +-25% episodes (two

@@ -146,6 +146,42 @@ def marginal_step_seconds(
     return None if best == float("inf") else best
 
 
+def marginal_call_seconds(
+    fn, args=(), n_long: int = 16, n_short: int = 4, repeats: int = 3
+) -> float:
+    """Best-of marginal seconds per `fn(*args)` call, forcing a host fetch.
+
+    The per-call analogue of `marginal_step_seconds` for micro-benchmarks
+    over a jitted function instead of a scan chunk: run n_short and n_long
+    back-to-back calls, fetch one scalar of the output to force the chain
+    (block_until_ready lies through the tunnel), and keep the best positive
+    (t_long - t_short) / (n_long - n_short). ONE copy of this methodology —
+    scripts/profile_components.py and scripts/bench_hist_impls.py share it.
+    """
+    import time
+
+    import jax.numpy as jnp
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        leaf = jax.tree.leaves(out)[0]
+        float(jnp.asarray(leaf).reshape(-1)[0])
+        return time.perf_counter() - t0
+
+    run(2)  # compile + warmup
+    best = float("inf")
+    for _ in range(repeats):
+        t_s = run(n_short)
+        t_l = run(n_long)
+        m = (t_l - t_s) / (n_long - n_short)
+        if 0 < m < best:
+            best = m
+    return best
+
+
 class StepTimer:
     """Blocked wall-clock timing of device steps.
 

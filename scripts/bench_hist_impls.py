@@ -24,25 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def marginal_time(fn, args, n_long=24, n_short=6, repeats=3):
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn(*args)
-        leaf = jax.tree.leaves(out)[0]
-        float(jnp.asarray(leaf).reshape(-1)[0])
-        return time.perf_counter() - t0
+from palette_and_histo_gan_tpu.utils.profiling import marginal_call_seconds
 
-    run(2)
-    best = float("inf")
-    for _ in range(repeats):
-        t_s = run(n_short)
-        t_l = run(n_long)
-        m = (t_l - t_s) / (n_long - n_short)
-        if 0 < m < best:
-            best = m
-    return best
+
+def marginal_time(fn, args, n_long=24, n_short=6, repeats=3):
+    """Shared forced-fetch marginal clock (utils/profiling.py)."""
+    return marginal_call_seconds(fn, args, n_long, n_short, repeats)
 
 
 def main():
@@ -110,6 +97,7 @@ def main():
     grad_pallas3 = jax.jit(jax.grad(make_loss("pallas")))
 
     ref_g = None
+    ref_name = None
     for name, fn in [
         ("xla_fwd_bwd_bf16", grad_bf16),
         ("xla_fwd_bwd_bf16_dual", grad_dual),
@@ -122,10 +110,16 @@ def main():
         try:
             got = np.asarray(fn(img))
             if ref_g is None:
-                ref_g = got
+                # the parity reference is whichever impl ran first; name it
+                # in the key so a compile failure of the intended baseline
+                # can't silently relabel what the errors are measured against
+                ref_g, ref_name = got, name
             gerr = float(np.abs(got - ref_g).max() / (np.abs(ref_g).max() + 1e-12))
             ms = marginal_time(fn, (img,)) * 1e3
-            out[name] = {"ms": round(ms, 3), "max_rel_err_vs_first": round(gerr, 5)}
+            out[name] = {
+                "ms": round(ms, 3),
+                f"max_rel_err_vs_{ref_name}": round(gerr, 5),
+            }
         except Exception as e:
             out[name] = {"error": str(e)[:160]}
     print(json.dumps(out, indent=1))

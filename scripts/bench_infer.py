@@ -78,7 +78,9 @@ def make_infer_chunk(config, models, n_data: int, deterministic: bool = False):
             idx = (base + i * 8191) % n_data
             src = pool[idx]
             if not config.is_indexed:
-                src = src.astype(jnp.float32) / 127.5 - 1.0
+                from palette_and_histo_gan_tpu.ops.image import normalize
+
+                src = normalize(src.astype(jnp.float32))
             out = core(g_params, src, jax.random.fold_in(key, i))
             # full-tensor checksum: a sliced checksum would let XLA narrow
             # the head conv to the consumed window and benchmark a smaller

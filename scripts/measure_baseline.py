@@ -19,6 +19,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+# persistent compile cache: four full-size variants = four multi-minute
+# remote TPU compiles without it
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 
@@ -74,9 +77,23 @@ def main():
 
     fid_evaluator = None
     if not args.no_fid:
+        from palette_and_histo_gan_tpu.config import config_for_variant
         from palette_and_histo_gan_tpu.eval.fid import FidEvaluator
 
-        fid_evaluator = FidEvaluator()
+        # mirror Trainer's auto-mesh rule (train/trainer.py:85-92) so the
+        # shared evaluator runs the same (sharded or not) FID program the
+        # in-training FidEvaluator(mesh=self.mesh) would
+        probe = config_for_variant(args.variants[0], epochs=args.epochs)
+        ndev = len(jax.devices())
+        dp_mode = getattr(probe, "data_parallel", "auto")
+        mesh = None
+        if dp_mode == "on" or (
+            dp_mode == "auto" and ndev > 1 and probe.batch_size % ndev == 0
+        ):
+            from palette_and_histo_gan_tpu.parallel import mesh as mesh_mod
+
+            mesh = mesh_mod.make_mesh(data_axis=probe.data_axis)
+        fid_evaluator = FidEvaluator(mesh=mesh)
 
     results = []
     for variant in args.variants:

@@ -30,28 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from palette_and_histo_gan_tpu.utils.profiling import marginal_call_seconds
+
+
 def marginal_time(fn, args, n_long=16, n_short=4, repeats=3):
-    """Best-of marginal seconds per call; forces a scalar host fetch."""
-
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn(*args)
-        # force the chain: fetch one scalar element
-        leaf = jax.tree.leaves(out)[0]
-        float(jnp.asarray(leaf).reshape(-1)[0])
-        return time.perf_counter() - t0
-
-    run(2)  # compile + warmup
-    best = float("inf")
-    for _ in range(repeats):
-        t_s = run(n_short)
-        t_l = run(n_long)
-        m = (t_l - t_s) / (n_long - n_short)
-        if 0 < m < best:
-            best = m
-    return best
+    """Shared forced-fetch marginal clock (utils/profiling.py)."""
+    return marginal_call_seconds(fn, args, n_long, n_short, repeats)
 
 
 def main():

@@ -22,6 +22,9 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+# persistent compile cache: TPU compiles via the remote service take minutes,
+# and a 4-variant x 3-batch sweep is 12+ distinct programs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp
@@ -78,7 +81,10 @@ def measure_variant(
         float(mm["generator/total_loss"][-1])
         return time.perf_counter() - t0
 
-    timed(2)  # compile + warmup
+    # warm with the SAME num_steps program that gets measured (num_steps is
+    # a static arg of the chunk jit; a timed(2) warmup would compile a
+    # throwaway program and leave the measured one cold)
+    timed(steps)
 
     # PRIMARY clock: device-trace XLA-op sum (same as bench.py/trace_ops.py)
     from palette_and_histo_gan_tpu.utils.profiling import (

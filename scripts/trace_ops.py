@@ -64,8 +64,16 @@ def capture(
     compiled = chunk.lower(state, dataset, key, num_steps=steps).compile(
         compiler_options=compiler_options or None
     )
-    with open(os.path.join("/tmp", "trace_ops_hlo.txt"), "w") as f:
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "trace_ops_hlo.txt"), "w") as f:
         f.write(compiled.as_text())
+    # sidecar so --aggregate-only scales by the steps this capture ran (not
+    # whatever --steps the re-aggregating invocation happened to pass)
+    with open(os.path.join(log_dir, "trace_ops_meta.json"), "w") as f:
+        json.dump(
+            {"steps": steps, "variant": variant, "batch": batch, "dtype": dtype},
+            f,
+        )
     # run the *compiled* executable (not the jit wrapper) so TPU
     # compiler_options A/Bs measure the program they configured
     state, mm = compiled(state, dataset, key)  # warmup
@@ -78,6 +86,20 @@ def capture(
 
 def aggregate(log_dir: str, top: int, steps: int):
     import importlib
+
+    # trust the capture's own step count when re-aggregating: the sidecar is
+    # written next to the trace, so a later --aggregate-only with a
+    # different --steps flag cannot mis-scale the per-step numbers
+    meta_path = os.path.join(log_dir, "trace_ops_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("steps") != steps:
+            print(
+                f"[trace_ops] using steps={meta['steps']} from the capture "
+                f"sidecar (flag said {steps})"
+            )
+            steps = meta["steps"]
 
     xplane_pb2 = None
     for mod in (
@@ -142,7 +164,12 @@ def aggregate(log_dir: str, top: int, steps: int):
     # compiled program (written by capture()); fusions without their own
     # metadata inherit the dominant op_name of their fused computation body
     opname = {}
-    hlo_path = "/tmp/trace_ops_hlo.txt"
+    # HLO lives next to the trace it belongs to (a global /tmp path could be
+    # stale from a different capture); keep the old path as a fallback for
+    # pre-sidecar captures
+    hlo_path = os.path.join(log_dir, "trace_ops_hlo.txt")
+    if not os.path.exists(hlo_path):
+        hlo_path = "/tmp/trace_ops_hlo.txt"
     if os.path.exists(hlo_path):
         import re
 
@@ -234,7 +261,9 @@ def main():
     )
     args = p.parse_args()
     if not args.aggregate_only:
-        os.system(f"rm -rf {args.log_dir}")
+        import shutil
+
+        shutil.rmtree(args.log_dir, ignore_errors=True)
         import ast
 
         overrides = {}
