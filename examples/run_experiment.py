@@ -28,7 +28,11 @@ def main():
     p.add_argument("--target", default="right")
     p.add_argument("--epochs", type=int, default=160)
     p.add_argument("--save-weights", action="store_true")  # cell 12: off by default
-    p.add_argument("--generate-all-test-images", action="store_true", default=True)
+    p.add_argument(
+        "--generate-all-test-images",
+        action=argparse.BooleanOptionalAction,
+        default=True,  # cell 16 runs by default; --no-generate-all-test-images opts out
+    )
     args = p.parse_args()
 
     # cell 1: device check

@@ -185,6 +185,11 @@ def _call_kernel(delta, sy, sx, keep, flat_s, flat_t, *, normalize_out):
         ),
         grid_spec=grid_spec,
         out_shape=(out_shape, out_shape),
+        # Mosaic compiles only on TPU. On the CPU backend (tests, the
+        # virtual 8-device mesh) run the Pallas interpreter, which executes
+        # identical semantics — including inside shard_map, where
+        # pltpu.force_tpu_interpret_mode's TPU-core emulation stalls.
+        interpret=jax.default_backend() == "cpu",
     )(delta, sy, sx, keep, flat_s, flat_t)
 
 

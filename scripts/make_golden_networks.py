@@ -34,11 +34,11 @@ import numpy as np
 import tensorflow as tf
 
 # parity_utils imports the package (for the converter specs), so the repo
-# root must be importable alongside tests/ — the package is not pip-installed.
+# root must be importable — the package is not pip-installed. tests/ is a
+# package, so import it the same way the tests themselves do.
 _repo_root = os.path.join(os.path.dirname(__file__), "..")
 sys.path.insert(0, _repo_root)
-sys.path.insert(0, os.path.join(_repo_root, "tests"))
-import parity_utils as pu  # noqa: E402
+from tests import parity_utils as pu  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 os.makedirs(OUT, exist_ok=True)
@@ -49,7 +49,7 @@ def instance_norm(x, scale, offset, eps=1e-3):
     return (x - mean) * tf.math.rsqrt(var + eps) * scale + offset
 
 
-def generator_forward(w, x, in_channels, out_channels, last_activation):
+def generator_forward(w, x, last_activation):
     """Reference U-Net forward (networks.py:53-98), dropout off."""
     skips = []
     inputs = x
@@ -183,7 +183,7 @@ wd = pu.materialize(pu.discriminator_param_spec(4))
 source = pu.parity_input("networks/rgba/source", (B, 64, 64, 4))
 real = pu.parity_input("networks/rgba/real", (B, 64, 64, 4))
 
-fake = generator_forward(wg, tf.constant(source), 4, 4, "tanh")
+fake = generator_forward(wg, tf.constant(source), "tanh")
 d_real = discriminator_forward(wd, tf.constant(real), tf.constant(source))
 d_fake = discriminator_forward(wd, fake, tf.constant(source))
 
@@ -215,7 +215,7 @@ save(
 
 # --- RGBA gradient parity (one baseline train step's tape.gradient) ---------
 def rgba_losses(gv, dv):
-    fake_t = generator_forward(gv, tf.constant(source), 4, 4, "tanh")
+    fake_t = generator_forward(gv, tf.constant(source), "tanh")
     d_real_t = discriminator_forward(dv, tf.constant(real), tf.constant(source))
     d_fake_t = discriminator_forward(dv, fake_t, tf.constant(source))
     g_loss = bce(tf.ones_like(d_fake_t), d_fake_t) + 100.0 * tf.reduce_mean(
@@ -273,7 +273,7 @@ def tf_hellinger(h1, h2):
 
 
 def histogram_losses(gv, dv):
-    fake_t = generator_forward(gv, tf.constant(source), 4, 4, "tanh")
+    fake_t = generator_forward(gv, tf.constant(source), "tanh")
     d_real_t = discriminator_forward(dv, tf.constant(real), tf.constant(source))
     d_fake_t = discriminator_forward(dv, fake_t, tf.constant(source))
     hell_t = tf_hellinger(
@@ -335,7 +335,7 @@ real_idx = rng.integers(0, 256, size=(B, 64, 64, 1)).astype(np.int32)
 wgi = pu.materialize(pu.generator_param_spec(1, 256))
 wdi = pu.materialize(pu.discriminator_param_spec(1))
 
-probs = generator_forward(wgi, tf.constant(source_idx), 1, 256, "softmax")
+probs = generator_forward(wgi, tf.constant(source_idx), "softmax")
 fake_idx = tf.expand_dims(
     tf.argmax(probs, axis=-1, output_type=tf.int32), -1
 )  # pix2pix_model.py:287
@@ -378,7 +378,7 @@ save(
 # quirk, pix2pix_model.py:303-309); G trains on 0.01*CCE alone. D grads flow
 # normally from both BCE terms.
 def indexed_losses(gv, dv):
-    probs_t = generator_forward(gv, tf.constant(source_idx), 1, 256, "softmax")
+    probs_t = generator_forward(gv, tf.constant(source_idx), "softmax")
     fake_idx_t = tf.expand_dims(
         tf.argmax(probs_t, axis=-1, output_type=tf.int32), -1
     )

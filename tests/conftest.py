@@ -1,23 +1,20 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Multi-chip TPU hardware is not available in CI; the standard JAX trick of
-forcing N host-platform devices lets the sharding/collective tests exercise
-real mesh partitioning logic on CPU (SURVEY.md §4).
+Multi-chip TPU hardware is not available in CI; forcing 8 virtual CPU
+devices lets the sharding/collective tests exercise real mesh partitioning
+logic on CPU (SURVEY.md §4).
 
-The environment may pre-register an accelerator plugin at interpreter start
-(sitecustomize) and force `jax_platforms` via jax.config — env vars alone are
-not enough, so this conftest re-updates the config and clears any
+The environment pre-registers an accelerator plugin at interpreter start
+(sitecustomize) and forces `jax_platforms` via jax.config — env vars alone
+(JAX_PLATFORMS, XLA_FLAGS --xla_force_host_platform_device_count) are
+ignored here. The effective mechanism is the two jax.config.update calls
+below (`jax_platforms=cpu`, `jax_num_cpu_devices=8`) plus clearing any
 already-initialized backends.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # belt-and-braces; config below decides
 # keep TF (used only to generate golden fixtures) off any accelerator
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")

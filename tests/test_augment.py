@@ -178,13 +178,10 @@ def test_augment_batch_end_to_end_matches_per_image_reference():
 
 def test_augment_pallas_matches_xla_batch():
     """The fused Pallas augmentation kernel (ops/augment_pallas.py) computes
-    the same augmentation as augment_batch for the same key — run here in
-    interpreter mode (CPU); TPU-compiled parity is covered by the device
-    A/B in docs/DESIGN.md and the production default selection."""
-    import functools
-
-    from jax.experimental import pallas as pl
-
+    the same augmentation as augment_batch for the same key — on CPU the
+    kernel auto-selects interpreter mode (ops/augment_pallas.py::
+    _call_kernel); TPU-compiled parity is covered by the device A/B in
+    docs/DESIGN.md and the production default selection."""
     from palette_and_histo_gan_tpu.ops import augment_pallas as ap
 
     rng = np.random.default_rng(13)
@@ -196,21 +193,16 @@ def test_augment_pallas_matches_xla_batch():
     ref_s, ref_t = augment.augment_batch(
         jnp.asarray(src, jnp.float32), jnp.asarray(tgt, jnp.float32), key, 0.8
     )
-    orig_call = pl.pallas_call
-    try:
-        pl.pallas_call = functools.partial(orig_call, interpret=True)
-        out_s, out_t = ap.augment_batch_pallas(
-            jnp.asarray(src), jnp.asarray(tgt), key, 0.8
-        )
-        # b=8 exercises the 8-image-block program; b=4 the block-1 path
-        out_s4, _ = ap.augment_batch_pallas(
-            jnp.asarray(src[:4]), jnp.asarray(tgt[:4]), key, 0.8
-        )
-        norm_s, norm_t = ap.augment_batch_pallas(
-            jnp.asarray(src), jnp.asarray(tgt), key, 0.8, normalize_out=True
-        )
-    finally:
-        pl.pallas_call = orig_call
+    out_s, out_t = ap.augment_batch_pallas(
+        jnp.asarray(src), jnp.asarray(tgt), key, 0.8
+    )
+    # b=8 exercises the 8-image-block program; b=4 the block-1 path
+    out_s4, _ = ap.augment_batch_pallas(
+        jnp.asarray(src[:4]), jnp.asarray(tgt[:4]), key, 0.8
+    )
+    norm_s, norm_t = ap.augment_batch_pallas(
+        jnp.asarray(src), jnp.asarray(tgt), key, 0.8, normalize_out=True
+    )
     # identical f32 math modulo op-ordering rounding in the hue chain
     np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref_s), atol=5e-4)
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref_t), atol=5e-4)

@@ -13,7 +13,7 @@ import os
 import numpy as np
 import pytest
 
-import parity_utils as pu
+from tests import parity_utils as pu
 from palette_and_histo_gan_tpu.models import convert
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden")

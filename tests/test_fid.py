@@ -115,6 +115,32 @@ def test_fid_evaluator_end_to_end_small():
     assert abs(val_diff - val_diff_scipy) <= 2e-2 * abs(val_diff_scipy) + 1e-3
 
 
+def _randomize_inception(keras_model, rng):
+    """Randomize every weight of a keras InceptionV3 with
+    activation-preserving scales: he-normal conv kernels, nonzero BN
+    offsets/statistics (weights=None leaves BN at the identity, which would
+    mask any beta/mean/var mis-assignment). The `layer.weights[len(new)]`
+    lookup relies on get_weights() ordering matching layer.weights."""
+    import numpy as np
+
+    for layer in keras_model.layers:
+        ws = layer.get_weights()
+        if not ws:
+            continue
+        new = []
+        for w in ws:
+            if w.ndim == 4:  # conv kernel
+                fan_in = w.shape[0] * w.shape[1] * w.shape[2]
+                new.append(
+                    rng.normal(0, np.sqrt(2.0 / fan_in), w.shape).astype(np.float32)
+                )
+            elif "variance" in str(layer.weights[len(new)].name):
+                new.append(rng.uniform(0.5, 1.5, w.shape).astype(np.float32))
+            else:  # beta / moving_mean
+                new.append(rng.normal(0, 0.1, w.shape).astype(np.float32))
+        layer.set_weights(new)
+
+
 @pytest.mark.slow
 def test_flax_inception_matches_keras_full_network():
     """Full-network parity: the Flax InceptionV3 with weights converted from
@@ -130,24 +156,8 @@ def test_flax_inception_matches_keras_full_network():
     keras_model = tf.keras.applications.InceptionV3(
         include_top=False, pooling="avg", weights=None, input_shape=(75, 75, 3)
     )
-    # randomize every weight with activation-preserving scales: he-normal conv
-    # kernels, nonzero BN offsets/statistics (weights=None leaves BN at the
-    # identity, which would mask any beta/mean/var mis-assignment)
     rng = np.random.default_rng(11)
-    for layer in keras_model.layers:
-        ws = layer.get_weights()
-        if not ws:
-            continue
-        new = []
-        for w in ws:
-            if w.ndim == 4:  # conv kernel
-                fan_in = w.shape[0] * w.shape[1] * w.shape[2]
-                new.append(rng.normal(0, np.sqrt(2.0 / fan_in), w.shape).astype(np.float32))
-            elif "variance" in str(layer.weights[len(new)].name):
-                new.append(rng.uniform(0.5, 1.5, w.shape).astype(np.float32))
-            else:  # beta / moving_mean
-                new.append(rng.normal(0, 0.1, w.shape).astype(np.float32))
-        layer.set_weights(new)
+    _randomize_inception(keras_model, rng)
 
     flat = inception.convert_keras_model(keras_model)
     model = inception.InceptionV3()
@@ -246,22 +256,7 @@ def test_fid_chain_composed_vs_reference_formula(tmp_path, monkeypatch):
         include_top=False, pooling="avg", weights=None, input_shape=(size, size, 3)
     )
     rng = np.random.default_rng(23)
-    for layer in keras_model.layers:
-        ws = layer.get_weights()
-        if not ws:
-            continue
-        new = []
-        for w in ws:
-            if w.ndim == 4:
-                fan_in = w.shape[0] * w.shape[1] * w.shape[2]
-                new.append(
-                    rng.normal(0, np.sqrt(2.0 / fan_in), w.shape).astype(np.float32)
-                )
-            elif "variance" in str(layer.weights[len(new)].name):
-                new.append(rng.uniform(0.5, 1.5, w.shape).astype(np.float32))
-            else:
-                new.append(rng.normal(0, 0.1, w.shape).astype(np.float32))
-        layer.set_weights(new)
+    _randomize_inception(keras_model, rng)
 
     # the one-file-drop path: convert -> npz -> env var -> FidEvaluator
     npz_path = tmp_path / "inception_weights.npz"

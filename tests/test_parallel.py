@@ -15,7 +15,7 @@ from tests.test_train_steps import rgba_batch, tiny_models, tiny_state
 def mesh8():
     devices = jax.devices()
     if len(devices) < 8:
-        pytest.skip("needs 8 virtual devices (XLA_FLAGS host device count)")
+        pytest.skip("needs 8 virtual devices (conftest jax_num_cpu_devices)")
     return mesh_mod.make_mesh(devices[:8])
 
 
@@ -59,30 +59,12 @@ def test_dp_step_matches_single_device(mesh8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
-def _interpret_pallas():
-    """Context manager running every pallas_call in interpreter mode so the
-    Mosaic-only augmentation kernel executes on the CPU mesh."""
-    import contextlib
-    import functools
-
-    from jax.experimental import pallas as pl
-
-    @contextlib.contextmanager
-    def ctx():
-        orig = pl.pallas_call
-        pl.pallas_call = functools.partial(orig, interpret=True)
-        try:
-            yield
-        finally:
-            pl.pallas_call = orig
-
-    return ctx()
-
-
 def test_pallas_augment_sharded_matches_unsharded(mesh8):
     """The shard_map form of the fused Pallas augmentation kernel is
     bit-equal to the unsharded call: parameter vectors are drawn globally
-    with the same key schedule and the kernel is per-image."""
+    with the same key schedule and the kernel is per-image. (On the CPU
+    mesh the kernel auto-selects the Pallas interpreter — see
+    ops/augment_pallas.py::_call_kernel.)"""
     from palette_and_histo_gan_tpu.ops import augment_pallas as ap
 
     rng = np.random.default_rng(17)
@@ -90,11 +72,10 @@ def test_pallas_augment_sharded_matches_unsharded(mesh8):
     tgt = jnp.asarray(rng.integers(0, 256, (16, 64, 64, 4)), jnp.uint8)
     key = jax.random.PRNGKey(9)
 
-    with _interpret_pallas():
-        ref_s, ref_t = ap.augment_batch_pallas(src, tgt, key, normalize_out=True)
-        sh_s, sh_t = ap.augment_batch_pallas_sharded(
-            src, tgt, key, normalize_out=True, mesh=mesh8, axis="data"
-        )
+    ref_s, ref_t = ap.augment_batch_pallas(src, tgt, key, normalize_out=True)
+    sh_s, sh_t = ap.augment_batch_pallas_sharded(
+        src, tgt, key, normalize_out=True, mesh=mesh8, axis="data"
+    )
     np.testing.assert_array_equal(np.asarray(sh_s), np.asarray(ref_s))
     np.testing.assert_array_equal(np.asarray(sh_t), np.asarray(ref_t))
 
@@ -112,18 +93,17 @@ def test_dp_step_pallas_augment_matches_single(mesh8):
     state = tiny_state(config, models)
     src, tgt = rgba_batch(seed=13, batch=16)
 
-    with _interpret_pallas():
-        ref_state, ref_metrics = rgba_train_step(
-            config, models, state, src, tgt
-        )
-        dp_step = dp_mod.make_dp_train_step(config, models, mesh8)
-        dp_state, dp_metrics = dp_step(
-            mesh_mod.replicate_state(mesh8, state),
-            mesh_mod.shard_batch(mesh8, src),
-            mesh_mod.shard_batch(mesh8, tgt),
-        )
-        dp_metrics = jax.tree.map(np.asarray, dp_metrics)
-        dp_leaves = [np.asarray(x) for x in jax.tree.leaves(dp_state.g_params)]
+    ref_state, ref_metrics = rgba_train_step(
+        config, models, state, src, tgt
+    )
+    dp_step = dp_mod.make_dp_train_step(config, models, mesh8)
+    dp_state, dp_metrics = dp_step(
+        mesh_mod.replicate_state(mesh8, state),
+        mesh_mod.shard_batch(mesh8, src),
+        mesh_mod.shard_batch(mesh8, tgt),
+    )
+    dp_metrics = jax.tree.map(np.asarray, dp_metrics)
+    dp_leaves = [np.asarray(x) for x in jax.tree.leaves(dp_state.g_params)]
 
     np.testing.assert_allclose(
         float(dp_metrics["generator/total_loss"]),

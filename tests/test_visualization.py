@@ -34,11 +34,29 @@ def test_upscale_patches_repeat_and_pad():
     assert up[2, 2] == patches[0, 0, 0] or up[2, 2] == patches[1, 1, 0]
 
 
-def test_preview_grid_renders_dark_indexed_decode_dark():
+def test_preview_grid_renders_dark_indexed_decode_dark(monkeypatch):
     rng = np.random.default_rng(0)
     src = rng.integers(0, 256, (2, 8, 8, 4)).astype(np.int32)
     tgt = rng.integers(0, 256, (2, 8, 8, 4)).astype(np.int32)
     dark = np.zeros((2, 8, 8, 4), np.int32)
     dark[..., 3] = 1  # alpha 1 on the 0-255 scale: still nearly transparent
+
+    # Spy on the values_in_unit_range path: every cell must route through
+    # _show_unit with dtype-based (not magnitude-heuristic) scaling, so the
+    # alpha-1 decode stays at 1/255 — the old max()>1.5 heuristic rendered
+    # it fully opaque.
+    shown = []
+    orig = viz._show_unit
+
+    def spy(img):
+        out = orig(img)
+        shown.append(np.asarray(out))
+        return out
+
+    monkeypatch.setattr(viz, "_show_unit", spy)
     grid = viz.preview_grid(src, tgt, dark, values_in_unit_range=True)
     assert grid.dtype == np.uint8 and grid.ndim == 3 and grid.shape[2] == 3
+    assert len(shown) == 6  # 2 rows x [Input, Target, Generated]
+    for row in range(2):
+        gen_cell = shown[3 * row + 2]
+        np.testing.assert_allclose(gen_cell.max(), 1.0 / 255.0)
