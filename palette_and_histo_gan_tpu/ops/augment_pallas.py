@@ -55,29 +55,35 @@ def _hue_rotate_lanes(v: jnp.ndarray, delta) -> jnp.ndarray:
     g_al = pltpu.roll(v, shift=LANES - 1, axis=1)  # lane 4k now holds g
     b_al = pltpu.roll(v, shift=LANES - 2, axis=1)  # lane 4k now holds b
 
+    # Algebraically restructured from ops/augment.py's rgb_to_hsv/hsv_to_rgb
+    # for the VPU — the divides are the expensive ops here:
+    #   - one reciprocal replaces the three /safe_rng divides;
+    #   - saturation is never formed: v*(1-s) + v*s*d == mn + rng*d exactly
+    #     (v*s == rng), dropping the s divide and its zero guard;
+    #   - hue stays in the [0, 6) sextant domain: (h/6 + delta) % 1 * 6
+    #     == (h + 6*delta) % 6, dropping a divide, a redundant % 1.0, and
+    #     the *6 rescale.
+    # Each change is <= a few ULP at the 255 scale vs the XLA chain
+    # (parity-pinned at 5e-4 in tests/test_augment.py).
     r, g, b = v, g_al, b_al
     vmax = jnp.maximum(jnp.maximum(r, g), b)
     mn = jnp.minimum(jnp.minimum(r, g), b)
     rng = vmax - mn
-    safe_rng = jnp.where(rng == 0, 1.0, rng)
-    safe_v = jnp.where(vmax == 0, 1.0, vmax)
-    s = jnp.where(vmax == 0, 0.0, rng / safe_v)
+    inv_rng = 1.0 / jnp.where(rng == 0, 1.0, rng)
 
-    hr = ((g - b) / safe_rng) % 6.0
-    hg = (b - r) / safe_rng + 2.0
-    hb = (r - g) / safe_rng + 4.0
+    hr = ((g - b) * inv_rng) % 6.0
+    hg = (b - r) * inv_rng + 2.0
+    hb = (r - g) * inv_rng + 4.0
     h = jnp.where(vmax == r, hr, jnp.where(vmax == g, hg, hb))
-    h = jnp.where(rng == 0, 0.0, h / 6.0)
+    h = jnp.where(rng == 0, 0.0, h)
 
-    h = (h + delta) % 1.0
-    dh = (h % 1.0) * 6.0
+    dh = (h + 6.0 * delta) % 6.0
     dr = jnp.clip(jnp.abs(dh - 3.0) - 1.0, 0.0, 1.0)
     dg = jnp.clip(2.0 - jnp.abs(dh - 2.0), 0.0, 1.0)
     db = jnp.clip(2.0 - jnp.abs(dh - 4.0), 0.0, 1.0)
-    one_minus_s = 1.0 - s
-    nr = vmax * (one_minus_s + s * dr)
-    ng = vmax * (one_minus_s + s * dg)
-    nb = vmax * (one_minus_s + s * db)
+    nr = mn + rng * dr
+    ng = mn + rng * dg
+    nb = mn + rng * db
 
     lane_mod = jax.lax.broadcasted_iota(jnp.int32, (H, LANES), 1) % CH
     return jnp.where(
