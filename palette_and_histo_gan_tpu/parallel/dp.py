@@ -28,6 +28,7 @@ from ..train.steps import (
     _unpack_rows_u32,
     indexed_train_step,
     rgba_train_step,
+    step_wants_packed,
     tpu_compiler_options,
 )
 from .mesh import batch_sharding, replicated
@@ -101,16 +102,21 @@ def make_dp_train_chunk(
             _pack_rows_u32(dataset[1]),
         )
 
+        packed = step_wants_packed(config, mesh) and src_shape is not None
+
         def body(state, _):
             idx = batch_indices(
                 data_key, state.step, dataset_size, config.batch_size
             )
-            source = jax.lax.with_sharding_constraint(
-                _unpack_rows_u32(src_p[idx], src_shape), data_sh
-            )
-            target = jax.lax.with_sharding_constraint(
-                _unpack_rows_u32(tgt_p[idx], tgt_shape), data_sh
-            )
+            if packed:
+                # the sharded Pallas augment kernel consumes the u32 pixels
+                # directly (shard_map over the batch axis; unpack in VMEM)
+                source, target = src_p[idx], tgt_p[idx]
+            else:
+                source = _unpack_rows_u32(src_p[idx], src_shape)
+                target = _unpack_rows_u32(tgt_p[idx], tgt_shape)
+            source = jax.lax.with_sharding_constraint(source, data_sh)
+            target = jax.lax.with_sharding_constraint(target, data_sh)
             return step_fn(state, source, target)
 
         return jax.lax.scan(body, state, None, length=num_steps)

@@ -154,7 +154,16 @@ def generator_loss(
 ) -> dict:
     """Baseline generator loss (pix2pix_model.py:44-49)."""
     adversarial = bce_with_logits(jnp.ones_like(fake_predicted), fake_predicted)
-    l1 = jnp.mean(jnp.abs(real_image - fake_image))
+    # subtract and accumulate in f32 even when both operands arrive bf16
+    # (bf16 train step with the fused augment kernel): the f32 difference of
+    # two bf16 values is exact, and a bf16 mean over B*H*W*C elements would
+    # lose the metric to accumulation rounding. In f32 mode the casts are
+    # no-ops (today's exact numerics, promotion already ran the op in f32).
+    l1 = jnp.mean(
+        jnp.abs(
+            real_image.astype(jnp.float32) - fake_image.astype(jnp.float32)
+        )
+    )
     return {
         "total_loss": adversarial + lambda_l1 * l1,
         "adversarial_loss": adversarial,

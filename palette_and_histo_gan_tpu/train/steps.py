@@ -126,25 +126,45 @@ def rgba_train_step(
     rng, k_aug, k_drop = jax.random.split(state.rng, 3)
 
     if config.uses_augmentation and _resolve_augment_impl(config, mesh) == "pallas":
-        # fused one-pass kernel; consumes the gathered uint8 batch directly
-        # (the upcast happens in VMEM), emits float32, and folds the
+        # fused one-pass kernel; consumes the gathered batch directly —
+        # either unpacked uint8 or, from the chunk factories, the 4-byte-lane
+        # gather's uint32-packed pixels (the channel unpack then happens in
+        # VMEM and the XLA-side u32 -> u8 pass never exists) — and folds the
         # [0,255] -> [-1,1] normalize into its write
         from ..ops.augment_pallas import (
             augment_batch_pallas,
+            augment_batch_pallas_packed,
             augment_batch_pallas_sharded,
         )
 
+        # in bf16 compute mode the kernel writes bf16 directly: every
+        # consumer (both nets' first convs, the histogram chain's dtype
+        # cast) converts to bf16 anyway, so the values are bitwise what the
+        # downstream converts would produce, at half the kernel's HBM write
+        # traffic and without the convert/relayout passes (trace A/B in
+        # docs/DESIGN.md). The L1 term then sees a bf16-rounded target
+        # (<= 1 ulp bf16), within the documented bf16-mode envelope.
+        aug_dtype = jnp.dtype(config.compute_dtype)
         if mesh is not None:
             source, target = augment_batch_pallas_sharded(
                 source, target, k_aug, config.augment_probability,
-                normalize_out=True, mesh=mesh, axis=config.data_axis,
+                normalize_out=True, out_dtype=aug_dtype,
+                mesh=mesh, axis=config.data_axis,
             )
         else:
-            source, target = augment_batch_pallas(
+            aug_fn = (
+                augment_batch_pallas_packed
+                if source.dtype == jnp.uint32
+                else augment_batch_pallas
+            )
+            source, target = aug_fn(
                 source, target, k_aug, config.augment_probability,
-                normalize_out=True,
+                normalize_out=True, out_dtype=aug_dtype,
             )
     else:
+        if source.dtype == jnp.uint32:  # packed pixels (see step_wants_packed)
+            source = _unpack_rows_u32(source, (0, 64, 64, 4))
+            target = _unpack_rows_u32(target, (0, 64, 64, 4))
         # the HBM-resident dataset is uint8 (data/loader.py::prepare_rgba);
         # the upcast fuses into the gather's consumer
         source = source.astype(jnp.float32)
@@ -340,6 +360,19 @@ def _unpack_rows_u32(arr: jnp.ndarray, shape):
     )
 
 
+def step_wants_packed(config: Config, mesh=None) -> bool:
+    """True when the train step consumes the 4-byte-lane gather's uint32
+    pixels DIRECTLY (the Pallas augment kernel unpacks channels in VMEM), so
+    the chunk factories skip the XLA-side u32 -> u8 unpack — an HBM round
+    trip plus two materialized broadcast-shift relayout copies (~0.55
+    ms/step at batch 1024, docs/DESIGN.md)."""
+    return (
+        not config.is_indexed
+        and config.uses_augmentation
+        and _resolve_augment_impl(config, mesh) == "pallas"
+    )
+
+
 def tpu_compiler_options(config: Config) -> dict | None:
     """config.xla_compiler_options as a dict on TPU, None elsewhere.
 
@@ -397,12 +430,17 @@ def make_train_chunk(config: Config, models: Models, dataset_size: int) -> Calla
             _pack_rows_u32(dataset[1]),
         )
 
+        packed = step_wants_packed(config) and src_shape is not None
+
         def body(state, _):
             idx = batch_indices(
                 data_key, state.step, dataset_size, config.batch_size
             )
-            source = _unpack_rows_u32(src_p[idx], src_shape)
-            target = _unpack_rows_u32(tgt_p[idx], tgt_shape)
+            if packed:  # the Pallas augment kernel unpacks in VMEM
+                source, target = src_p[idx], tgt_p[idx]
+            else:
+                source = _unpack_rows_u32(src_p[idx], src_shape)
+                target = _unpack_rows_u32(tgt_p[idx], tgt_shape)
             return step_fn(state, source, target)
 
         return jax.lax.scan(body, state, None, length=num_steps)

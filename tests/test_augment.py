@@ -217,3 +217,67 @@ def test_augment_pallas_matches_xla_batch():
     # (different batch -> different RNG draws; just check shape/finite)
     assert out_s4.shape == (4, 64, 64, 4)
     assert np.isfinite(np.asarray(out_s4)).all()
+
+
+def test_augment_pallas_packed_matches_unpacked():
+    """The packed-input kernel (u32 pixels straight off the train chunk's
+    4-byte-lane gather) computes bit-identically to augment_batch_pallas on
+    the unpacked uint8 batch — same draws, planar hue/shift/select chain +
+    one-hot MXU interleave vs the lane-interleaved chain."""
+    from palette_and_histo_gan_tpu.ops import augment_pallas as ap
+
+    rng = np.random.default_rng(31)
+    b = 8
+    src = rng.integers(0, 256, (b, 64, 64, 4)).astype(np.uint8)
+    tgt = rng.integers(0, 256, (b, 64, 64, 4)).astype(np.uint8)
+    key = jax.random.PRNGKey(11)
+    packed_s = jax.lax.bitcast_convert_type(
+        jnp.asarray(src).reshape(b, -1, 4), jnp.uint32
+    )
+    packed_t = jax.lax.bitcast_convert_type(
+        jnp.asarray(tgt).reshape(b, -1, 4), jnp.uint32
+    )
+
+    for normalize_out, out_dtype in [
+        (False, jnp.float32), (True, jnp.float32), (True, jnp.bfloat16),
+    ]:
+        ref_s, ref_t = ap.augment_batch_pallas(
+            jnp.asarray(src), jnp.asarray(tgt), key, 0.8,
+            normalize_out=normalize_out, out_dtype=out_dtype,
+        )
+        out_s, out_t = ap.augment_batch_pallas_packed(
+            packed_s, packed_t, key, 0.8,
+            normalize_out=normalize_out, out_dtype=out_dtype,
+        )
+        assert out_s.dtype == jnp.dtype(out_dtype)
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(ref_s))
+        np.testing.assert_array_equal(np.asarray(out_t), np.asarray(ref_t))
+
+
+def test_augment_pallas_bf16_out_is_rounded_f32():
+    """out_dtype=bfloat16 is exactly the f32 kernel result rounded once at
+    the write — bitwise what a downstream convert_element_type of the f32
+    output would produce (the bf16 train step's contract; the kernel halves
+    its write traffic by rounding in VMEM instead)."""
+    from palette_and_histo_gan_tpu.ops import augment_pallas as ap
+
+    rng = np.random.default_rng(29)
+    b = 8
+    src = rng.integers(0, 256, (b, 64, 64, 4)).astype(np.uint8)
+    tgt = rng.integers(0, 256, (b, 64, 64, 4)).astype(np.uint8)
+    key = jax.random.PRNGKey(5)
+
+    f32_s, f32_t = ap.augment_batch_pallas(
+        jnp.asarray(src), jnp.asarray(tgt), key, 0.8, normalize_out=True
+    )
+    bf_s, bf_t = ap.augment_batch_pallas(
+        jnp.asarray(src), jnp.asarray(tgt), key, 0.8, normalize_out=True,
+        out_dtype=jnp.bfloat16,
+    )
+    assert bf_s.dtype == jnp.bfloat16 and bf_t.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(bf_s), np.asarray(f32_s.astype(jnp.bfloat16))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bf_t), np.asarray(f32_t.astype(jnp.bfloat16))
+    )

@@ -79,6 +79,17 @@ def test_pallas_augment_sharded_matches_unsharded(mesh8):
     np.testing.assert_array_equal(np.asarray(sh_s), np.asarray(ref_s))
     np.testing.assert_array_equal(np.asarray(sh_t), np.asarray(ref_t))
 
+    # packed u32 pixels (the DP chunk's production input when the Pallas
+    # augmentation is selected) dispatch to the packed kernel inside the
+    # same shard_map wrapper — still bit-equal
+    packed_s = jax.lax.bitcast_convert_type(src.reshape(16, -1, 4), jnp.uint32)
+    packed_t = jax.lax.bitcast_convert_type(tgt.reshape(16, -1, 4), jnp.uint32)
+    pk_s, pk_t = ap.augment_batch_pallas_sharded(
+        packed_s, packed_t, key, normalize_out=True, mesh=mesh8, axis="data"
+    )
+    np.testing.assert_array_equal(np.asarray(pk_s), np.asarray(ref_s))
+    np.testing.assert_array_equal(np.asarray(pk_t), np.asarray(ref_t))
+
 
 def test_dp_step_pallas_augment_matches_single(mesh8):
     """The DP train step with the shard_map Pallas augmentation equals the
@@ -191,6 +202,59 @@ def test_dp_chunk_matches_single_device_chunk(mesh8, variant):
     ):
         # atol 1e-4 is half an optimizer step (lr 2e-4) — far below any real
         # divergence while absorbing per-element Adam noise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
+
+
+def test_dp_chunk_packed_pallas_matches_single_chunk(mesh8):
+    """DP chunk with the packed-u32 Pallas augmentation path (uint8 dataset +
+    augment_impl='pallas': the production TPU flagship configuration) equals
+    the single-device chunk. The single chunk is itself anchored to the
+    unpacked per-step path in test_train_steps.py."""
+    from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
+    from palette_and_histo_gan_tpu.train.steps import make_train_chunk, step_wants_packed
+
+    config = config_for_variant(
+        "baseline",
+        donate_state=False,
+        batch_size=8,
+        augment_impl="pallas",
+        down_filters=(8,) * 6,
+        up_filters=(8,) * 6,
+    )
+    assert step_wants_packed(config, mesh8)
+    models = build_models(config)
+    state = create_train_state(config, models, jax.random.PRNGKey(3))
+
+    n_data = 16
+    rng = np.random.default_rng(27)
+    dataset = (
+        jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
+        jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
+    )
+    data_key = jax.random.PRNGKey(4)
+    num_steps = 2
+
+    ref_chunk = make_train_chunk(config, models, n_data)
+    ref_state, ref_metrics = ref_chunk(state, dataset, data_key, num_steps)
+
+    dp_chunk = dp_mod.make_dp_train_chunk(config, models, mesh8, n_data)
+    repl = mesh_mod.replicated(mesh8)
+    dp_state, dp_metrics = dp_chunk(
+        mesh_mod.replicate_state(mesh8, state),
+        jax.device_put(dataset, repl),
+        data_key,
+        num_steps,
+    )
+
+    assert int(dp_state.step) == num_steps
+    for key in ref_metrics:
+        np.testing.assert_allclose(
+            np.asarray(dp_metrics[key]), np.asarray(ref_metrics[key]),
+            rtol=1e-4, atol=1e-6, err_msg=key,
+        )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.g_params), jax.tree.leaves(dp_state.g_params)
+    ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4)
 
 

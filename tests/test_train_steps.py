@@ -174,6 +174,63 @@ def test_resolve_augment_impl(monkeypatch):
     assert steps_mod._resolve_augment_impl(explicit, mesh=None) == "xla"
 
 
+def test_chunk_packed_pallas_matches_per_step():
+    """With the Pallas augmentation selected and a uint8 dataset, the chunk
+    passes the 4-byte-lane gather's u32 pixels STRAIGHT to the kernel
+    (steps.step_wants_packed; the XLA-side unpack never exists) — and the
+    result equals running the per-step path on unpacked uint8 batches."""
+    from palette_and_histo_gan_tpu.data.loader import batch_indices
+
+    config = config_for_variant(
+        "baseline",
+        donate_state=False,
+        batch_size=4,
+        augment_impl="pallas",
+        down_filters=TINY_DOWN,
+        up_filters=TINY_UP,
+    )
+    assert steps_mod.step_wants_packed(config)
+    models = tiny_models(config)
+    state = tiny_state(config, models)
+
+    n_data = 8
+    rng = np.random.default_rng(23)
+    dataset = (
+        jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
+        jnp.asarray(rng.integers(0, 256, (n_data, 64, 64, 4)), jnp.uint8),
+    )
+    data_key = jax.random.PRNGKey(6)
+    num_steps = 2
+
+    chunk = steps_mod.make_train_chunk(config, models, n_data)
+    chunk_state, chunk_metrics = chunk(state, dataset, data_key, num_steps)
+
+    ref_state = state
+    for _ in range(num_steps):
+        idx = batch_indices(
+            data_key, ref_state.step, n_data, config.batch_size
+        )
+        ref_state, ref_metrics = steps_mod.rgba_train_step(
+            config, models, ref_state, dataset[0][idx], dataset[1][idx]
+        )
+
+    assert int(chunk_state.step) == num_steps
+    np.testing.assert_allclose(
+        float(chunk_metrics["generator/total_loss"][-1]),
+        float(ref_metrics["generator/total_loss"]),
+        rtol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.g_params),
+        jax.tree.leaves(chunk_state.g_params),
+    ):
+        # scan-compiled vs per-step programs reduce in different orders;
+        # Adam's 1/sqrt(v) amplifies the last-bit gradient differences
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_indexed_step_finite_with_out_of_range_labels():
     """A target map containing a scatter-sum-collision label (> 255, from a
     sprite pixel equal to the hotpink filler — see ops/palette.py::
