@@ -155,6 +155,71 @@ def test_trainer_mini_fit(tmp_path, monkeypatch, variant):
     assert os.path.isdir(log_root)
 
 
+@needs_data
+@pytest.mark.parametrize("data_parallel,batch", [("off", 4), ("auto", 8)])
+def test_resume_trajectory_matches_uninterrupted(
+    tmp_path, monkeypatch, data_parallel, batch
+):
+    """Crash/resume determinism: fit(4 steps) in one go is bit-identical to
+    fit(2) -> fresh Trainer -> restore_latest_checkpoint -> fit(2 more).
+
+    This holds by construction — per-step batch sampling derives from
+    (data_key, state.step) (data/loader.py::batch_indices), the augment/
+    dropout stream rides state.rng which the checkpoint round-trips, and the
+    optimizer moments restore exactly — and this test pins it end to end
+    through the real Trainer + orbax path, on both the single-device and the
+    auto-mesh DP trainer (the latter exercises replicate_state after
+    restore). The reference never wired checkpoint restore at all
+    (side2side_model.py:121-131 saves only), so this is a capability the
+    rebuild adds; exactness is the bar because nothing in the resumed
+    program should depend on wall time or host state.
+    """
+    if data_parallel == "auto" and len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    kw = dict(
+        donate_state=False,
+        data_root=DATA_ROOT,
+        down_filters=(8,) * 6,
+        up_filters=(8,) * 6,
+        data_parallel=data_parallel,
+        batch_size=batch,
+    )
+    # uninterrupted 4-step run ("baseline": augmentation ON, so the
+    # state.rng stream is load-bearing, not just batch sampling)
+    config_a = config_for_variant(
+        "baseline", temp_folder=str(tmp_path / "a"), **kw
+    )
+    trainer_a = trainer_mod.Trainer(config_a)
+    trainer_a.fit(steps=4, update_steps=2)
+
+    # interrupted run: 2 steps, checkpoint lands at step 2, then a fresh
+    # Trainer (new params, new moments — everything must come from disk)
+    config_b = config_for_variant(
+        "baseline", temp_folder=str(tmp_path / "b"), **kw
+    )
+    trainer_b = trainer_mod.Trainer(config_b)
+    trainer_b.fit(steps=2, update_steps=2)
+
+    resumed = trainer_mod.Trainer(config_b)
+    assert not ckpt_mod.params_equal(
+        resumed.state.g_params, trainer_b.state.g_params
+    )
+    start = resumed.restore_latest_checkpoint()
+    assert start == 2
+    resumed.fit(steps=2, update_steps=2, starting_step=start)
+
+    assert int(resumed.state.step) == 4
+    assert ckpt_mod.params_equal(resumed.state.g_params, trainer_a.state.g_params)
+    assert ckpt_mod.params_equal(resumed.state.d_params, trainer_a.state.d_params)
+    assert ckpt_mod.params_equal(
+        resumed.state.g_opt_state, trainer_a.state.g_opt_state
+    )
+    assert ckpt_mod.params_equal(
+        resumed.state.d_opt_state, trainer_a.state.d_opt_state
+    )
+
+
 def test_eval_generate_fn_is_cached():
     """One jitted generate callable per (config, models) per process
     (VERDICT.md round-1 weak #4: per-eval retracing)."""
