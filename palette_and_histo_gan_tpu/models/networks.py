@@ -499,16 +499,18 @@ class UpBlock(nn.Module):
     """ConvTranspose k4 s2 -> InstanceNorm -> [Dropout 0.5] -> ReLU
     (networks.py:24-36).
 
-    transpose_impl: "subpixel" (default; phase-decomposed, MXU-dense),
-    "lax" (flax ConvTranspose, for reference-lowering comparison), or
-    "lax_flipgrad" (same forward, weight-grad reverse moved off the
-    activation — see _convt_k4s2_flipgrad).
+    transpose_impl: "lax_flipgrad" (default — the measured A/B winner and
+    config.py's production default: the lax forward with the weight-grad
+    reverse moved off the activation, see _convt_k4s2_flipgrad), "lax"
+    (plain flax ConvTranspose, for reference-lowering comparison), or
+    "subpixel" (phase-decomposed, MXU-dense; exact but measured slower —
+    62.1 vs 52.5 ms/step on the flagship, docs/DESIGN.md).
     """
 
     filters: int
     apply_dropout: bool = False
     dtype: Any = jnp.float32
-    transpose_impl: str = "subpixel"
+    transpose_impl: str = "lax_flipgrad"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
@@ -543,8 +545,12 @@ class UnetGenerator(nn.Module):
     dtype: Any = jnp.float32
     down_filters: Sequence[int] = (64, 128, 256, 512, 512, 512)
     up_filters: Sequence[int] = (512, 512, 256, 128, 64, 32)
-    transpose_impl: str = "subpixel"  # "subpixel" (MXU-dense) | "lax"
-    head_conv: str = "narrow"  # "narrow" (plain nn.Conv) | "dup8" (DupOutConv)
+    # Defaults match config.py's production defaults (the measured A/B
+    # winners, docs/DESIGN.md) so a bare UnetGenerator() computes with the
+    # fastest exact lowerings; "lax"/"subpixel"/"narrow"/"dup8" remain
+    # selectable for comparison.
+    transpose_impl: str = "lax_flipgrad"  # | "lax" | "subpixel"
+    head_conv: str = "swapgrad"  # | "narrow" (plain nn.Conv) | "dup8" | "nchw"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = False) -> jnp.ndarray:
@@ -622,7 +628,8 @@ class PatchDiscriminator(nn.Module):
 
     input_channels: int = 4
     dtype: Any = jnp.float32
-    head_conv: str = "narrow"  # "narrow" | "dup8" (see UnetGenerator head note)
+    # production default, matching config.py (see UnetGenerator head note)
+    head_conv: str = "swapgrad"  # | "narrow" | "dup8" | "nchw"
     input_split: bool = False  # split-concat first conv (see _SplitConcatConv)
 
     @nn.compact
@@ -668,8 +675,8 @@ def build_generator(config) -> UnetGenerator:
         dtype=jnp.dtype(config.compute_dtype),
         down_filters=tuple(getattr(config, "down_filters", (64, 128, 256, 512, 512, 512))),
         up_filters=tuple(getattr(config, "up_filters", (512, 512, 256, 128, 64, 32))),
-        transpose_impl=getattr(config, "transpose_impl", "subpixel"),
-        head_conv=getattr(config, "head_conv", "narrow"),
+        transpose_impl=getattr(config, "transpose_impl", "lax_flipgrad"),
+        head_conv=getattr(config, "head_conv", "swapgrad"),
     )
 
 
@@ -678,6 +685,6 @@ def build_discriminator(config) -> PatchDiscriminator:
     return PatchDiscriminator(
         input_channels=config.discriminator_in_channels,
         dtype=jnp.dtype(config.compute_dtype),
-        head_conv=getattr(config, "head_conv", "narrow"),
+        head_conv=getattr(config, "head_conv", "swapgrad"),
         input_split=getattr(config, "d_input_split", False),
     )
