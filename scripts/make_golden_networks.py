@@ -140,8 +140,12 @@ GRAD_FULL_MAX_ELEMS = 8192
 
 def grad_fixture_arrays(grads: dict, prefix: str) -> dict:
     """Per-variable gradient pins: L2 norm for every var, the full tensor
-    for small vars. Canonical names are slash-separated; npz keys use '.'
-    (npz keys cannot contain '/'... they can, but keep them readable)."""
+    for small vars, and N_GRAD_PROJECTIONS fixed random projections for the
+    large vars (deterministic directions regenerated by both sides from the
+    canonical name, tests/parity_utils.py::projection_vector) — a norm
+    alone cannot see a rotation-like structured error; the projections can.
+    Canonical names are slash-separated; npz keys use '.' (npz keys cannot
+    contain '/'... they can, but keep them readable)."""
     out = {}
     for name, g in grads.items():
         g = np.asarray(g, np.float32)
@@ -149,6 +153,8 @@ def grad_fixture_arrays(grads: dict, prefix: str) -> dict:
         out[f"{prefix}norm.{key}"] = np.float32(np.linalg.norm(g.astype(np.float64)))
         if g.size <= GRAD_FULL_MAX_ELEMS:
             out[f"{prefix}full.{key}"] = g
+        else:
+            out[f"{prefix}proj.{key}"] = pu.grad_projections(name, g)
     return out
 
 

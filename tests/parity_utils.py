@@ -75,6 +75,34 @@ def flax_discriminator_params(in_channels: int) -> dict:
     return convert.discriminator_tree_from_named(w)
 
 
+N_GRAD_PROJECTIONS = 8
+
+
+def projection_vector(name: str, size: int, j: int) -> np.ndarray:
+    """Deterministic unit vector keyed by (canonical name, index) — the
+    random directions onto which large gradient tensors are projected for
+    the parity pins. Regenerated identically by the fixture writer
+    (scripts/make_golden_networks.py) and the test (tests/test_parity.py),
+    so the fixture stores only the projected scalars."""
+    rng = np.random.default_rng(zlib.crc32(f"{name}#proj{j}".encode("utf-8")))
+    v = rng.standard_normal(size)
+    return v / np.linalg.norm(v)
+
+
+def grad_projections(name: str, grad, k: int = N_GRAD_PROJECTIONS) -> np.ndarray:
+    """k fixed random projections <grad, p_j> in float64. A structured error
+    of norm eps*||g|| shifts each projection by ~eps*||g||/sqrt(n) =
+    eps*rms(g) in typical position, so checking the k scalars at a small
+    multiple of rms(g) bounds structured errors the L2-norm pin alone
+    cannot see (two tensors can share a norm while differing by an
+    arbitrary rotation)."""
+    g64 = np.asarray(grad, np.float64).ravel()
+    return np.array(
+        [g64 @ projection_vector(name, g64.size, j) for j in range(k)],
+        np.float64,
+    )
+
+
 def parity_input(name: str, shape) -> np.ndarray:
     """Deterministic input batch in [-1, 1] (the nets' operating range)."""
     rng = np.random.default_rng(zlib.crc32(name.encode("utf-8")))
