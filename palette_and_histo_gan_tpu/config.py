@@ -185,6 +185,13 @@ class Config:
     # "subpixel" (exact phase-decomposed alternative, kept for comparison;
     # the interleave shuffles cost more than the dilation saves here)
     transpose_impl: str = "lax_flipgrad"
+    # Parity/testing hook: run the generator's dropout layers in
+    # deterministic (identity) mode inside the TRAIN steps. The reference
+    # always trains with dropout active (training=True everywhere,
+    # pix2pix_model.py:60,67) so production keeps False; the closed-loop
+    # trajectory-parity fixtures (scripts/make_golden_trajectory.py) set it
+    # True because dropout RNG cannot be matched across frameworks.
+    deterministic_dropout: bool = False
     data_axis: str = "data"  # DP mesh axis name
     # data parallelism: "auto" builds a mesh over all visible devices when
     # more than one is present (and the batch divides), "on" forces it,

@@ -42,15 +42,21 @@ from .losses import (
 from .state import Models, TrainState
 
 
-def _apply_generator(models: Models, params, source, rng):
+def _apply_generator(models: Models, params, source, rng, deterministic=False):
     """Generator forward with dropout active, as the reference always runs it
-    (training=True everywhere, pix2pix_model.py:60,67)."""
+    (training=True everywhere, pix2pix_model.py:60,67).
+    deterministic=True (config.deterministic_dropout) is the parity-fixture
+    hook: dropout RNG cannot be matched across frameworks, so the closed-loop
+    trajectory fixtures disable it on both sides."""
     return models.generator.apply(
-        {"params": params}, source, deterministic=False, rngs={"dropout": rng}
+        {"params": params},
+        source,
+        deterministic=deterministic,
+        rngs={"dropout": rng},
     )
 
 
-def _apply_generator_logits(models: Models, params, source, rng):
+def _apply_generator_logits(models: Models, params, source, rng, deterministic=False):
     """Generator forward returning pre-softmax logits (indexed variant).
 
     The softmax head (pix2pix_model.py:267-268) has no parameters, so applying
@@ -60,7 +66,10 @@ def _apply_generator_logits(models: Models, params, source, rng):
     (B, H, W, 256) probability tensor."""
     logits_gen = models.generator.clone(last_activation="linear")
     return logits_gen.apply(
-        {"params": params}, source, deterministic=False, rngs={"dropout": rng}
+        {"params": params},
+        source,
+        deterministic=deterministic,
+        rngs={"dropout": rng},
     )
 
 
@@ -198,7 +207,10 @@ def rgba_train_step(
     hist_dtype = jnp.dtype(config.compute_dtype)
 
     def g_loss_fn(g_params):
-        fake = _apply_generator(models, g_params, source, k_drop)
+        fake = _apply_generator(
+            models, g_params, source, k_drop,
+            deterministic=config.deterministic_dropout,
+        )
         fake_pred = _apply_discriminator(models, state.d_params, fake, source)
         metrics = generator_loss(fake_pred, fake, target, config.effective_lambda_l1)
         if use_hist:
@@ -276,7 +288,10 @@ def indexed_train_step(
     # below are exact equalities with the keras probs forms (train/losses.py)
 
     def g_loss_fn(g_params):
-        logits = _apply_generator_logits(models, g_params, source, k_drop)
+        logits = _apply_generator_logits(
+            models, g_params, source, k_drop,
+            deterministic=config.deterministic_dropout,
+        )
         fake_idx = jnp.argmax(logits, axis=-1)[..., None].astype(jnp.float32)
         fake_pred = _apply_discriminator(models, state.d_params, fake_idx, source)
         adversarial = bce_with_logits(jnp.ones_like(fake_pred), fake_pred)

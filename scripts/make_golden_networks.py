@@ -31,67 +31,21 @@ os.environ["CUDA_VISIBLE_DEVICES"] = "-1"
 os.environ["TF_CPP_MIN_LOG_LEVEL"] = "3"
 
 import numpy as np
-import tensorflow as tf
 
-# parity_utils imports the package (for the converter specs), so the repo
-# root must be importable — the package is not pip-installed. tests/ is a
-# package, so import it the same way the tests themselves do.
-_repo_root = os.path.join(os.path.dirname(__file__), "..")
-sys.path.insert(0, _repo_root)
-from tests import parity_utils as pu  # noqa: E402
+sys.path.insert(0, os.path.dirname(__file__))
+from tf_reference_nets import (  # noqa: E402
+    bce,
+    cce,
+    discriminator_forward,
+    generator_forward,
+    pu,
+    tf,
+    tf_hellinger,
+    tf_rgbuv_histogram,
+)
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
 os.makedirs(OUT, exist_ok=True)
-
-
-def instance_norm(x, scale, offset, eps=1e-3):
-    mean, var = tf.nn.moments(x, axes=[1, 2], keepdims=True)
-    return (x - mean) * tf.math.rsqrt(var + eps) * scale + offset
-
-
-def generator_forward(w, x, last_activation):
-    """Reference U-Net forward (networks.py:53-98), dropout off."""
-    skips = []
-    inputs = x
-    for i, f in enumerate(pu.DOWN_FILTERS):
-        x = tf.nn.conv2d(x, w[f"gen/down{i}/conv"], strides=2, padding="SAME")
-        if i != 0:
-            x = instance_norm(
-                x, w[f"gen/down{i}/norm/scale"], w[f"gen/down{i}/norm/offset"]
-            )
-        x = tf.nn.leaky_relu(x, alpha=0.3)
-        skips.append(x)
-    skip_sources = list(reversed(skips[:-1])) + [inputs]
-    for i, f in enumerate(pu.UP_FILTERS):
-        b, h, ww = x.shape[0], x.shape[1], x.shape[2]
-        x = tf.nn.conv2d_transpose(
-            x,
-            w[f"gen/up{i}/convt"],
-            output_shape=(b, 2 * h, 2 * ww, f),
-            strides=2,
-            padding="SAME",
-        )
-        x = instance_norm(
-            x, w[f"gen/up{i}/norm/scale"], w[f"gen/up{i}/norm/offset"]
-        )
-        x = tf.nn.relu(x)
-        x = tf.concat([x, skip_sources[i]], axis=-1)
-    x = tf.nn.conv2d(x, w["gen/head/conv"], strides=1, padding="SAME")
-    x = x + w["gen/head/bias"]
-    if last_activation == "tanh":
-        return tf.tanh(x)
-    assert last_activation == "softmax"
-    return tf.nn.softmax(x, axis=-1)
-
-
-def discriminator_forward(w, target, source):
-    """Reference PatchGAN forward (networks.py:39-50): concat -> down(64,
-    no-norm) -> 1-channel conv head."""
-    x = tf.concat([target, source], axis=-1)
-    x = tf.nn.conv2d(x, w["disc/down/conv"], strides=2, padding="SAME")
-    x = tf.nn.leaky_relu(x, alpha=0.3)
-    x = tf.nn.conv2d(x, w["disc/head/conv"], strides=1, padding="SAME")
-    return x + w["disc/head/bias"]
 
 
 def rgbuv_histogram(imgs, size=64, sigma=0.02):
@@ -131,31 +85,9 @@ def save(name, **arrays):
     print(f"wrote {name}.npz ({total/1e6:.2f} MB): {', '.join(arrays)}")
 
 
-# Full gradient tensors are pinned for variables at or under this many
-# elements (norm params, biases, the small conv kernels); every variable
-# gets its gradient L2 norm pinned. Shipping all 29.3M full gradients
-# would cost ~120 MB like the weights would.
-GRAD_FULL_MAX_ELEMS = 8192
-
-
-def grad_fixture_arrays(grads: dict, prefix: str) -> dict:
-    """Per-variable gradient pins: L2 norm for every var, the full tensor
-    for small vars, and N_GRAD_PROJECTIONS fixed random projections for the
-    large vars (deterministic directions regenerated by both sides from the
-    canonical name, tests/parity_utils.py::projection_vector) — a norm
-    alone cannot see a rotation-like structured error; the projections can.
-    Canonical names are slash-separated; npz keys use '.' (npz keys cannot
-    contain '/'... they can, but keep them readable)."""
-    out = {}
-    for name, g in grads.items():
-        g = np.asarray(g, np.float32)
-        key = name.replace("/", ".")
-        out[f"{prefix}norm.{key}"] = np.float32(np.linalg.norm(g.astype(np.float64)))
-        if g.size <= GRAD_FULL_MAX_ELEMS:
-            out[f"{prefix}full.{key}"] = g
-        else:
-            out[f"{prefix}proj.{key}"] = pu.grad_projections(name, g)
-    return out
+# Pin policy (norm + full-for-small + random projections for large) lives
+# in tests/parity_utils.py so every fixture writer shares it.
+grad_fixture_arrays = pu.grad_fixture_arrays
 
 
 def taped_gradients(wg, wd, losses_fn):
@@ -178,9 +110,6 @@ def taped_gradients(wg, wd, losses_fn):
         {k: zero(k, g, wd) for k, g in d_grads.items()},
     )
 
-
-bce = tf.keras.losses.BinaryCrossentropy(from_logits=True)
-cce = tf.keras.losses.CategoricalCrossentropy(from_logits=False)
 
 # --- RGBA topology (baseline / histogram variants) --------------------------
 B = 2
@@ -246,38 +175,8 @@ save(
 # under the tape), so the G gradient pins the JAX fused histogram VJP
 # against TF autodiff THROUGH the generator — not just against JAX autodiff
 # (tests/test_histogram.py). D grads are the same formulas as the baseline
-# step and are pinned there.
-def tf_rgbuv_histogram(imgs, size=64, sigma=0.02):
-    eps = 1e-6
-    x = (imgs + 1.0) / 2.0  # histogram.py:58
-    x = tf.reshape(x[..., :3], [x.shape[0], -1, 3])  # :61-63
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
-    iy = tf.sqrt(r**2 + g**2 + b**2 + eps)  # :66
-    domain = tf.linspace(-3.0, 3.0, size)  # :55
-    hists = []
-    for c, p1, p2 in ((r, g, b), (g, r, b), (b, r, g)):
-        iu = tf.math.log(c + eps) - tf.math.log(p1 + eps)  # :13-17
-        iv = tf.math.log(c + eps) - tf.math.log(p2 + eps)
-        du = tf.square(iu[..., None] - domain) / sigma**2
-        dv = tf.square(iv[..., None] - domain) / sigma**2
-        ku = 1.0 / (1.0 + du)  # inverse-quadratic (:26-27)
-        kv = 1.0 / (1.0 + dv)
-        # (Iy*Ku)^T @ Kv batched matmul (:29-30)
-        hists.append(tf.einsum("bn,bnu,bnv->buv", iy, ku, kv))
-    h = tf.stack(hists, axis=-1)
-    norm = tf.reduce_sum(tf.reshape(h, [h.shape[0], -1]), -1)[:, None, None, None]
-    return h / norm  # :75-79
-
-
-def tf_hellinger(h1, h2):
-    d = tf.sqrt(h1) - tf.sqrt(h2)  # histogram.py:84-89
-    return (
-        (1.0 / np.sqrt(2.0).astype(np.float32))
-        * tf.norm(tf.reshape(d, [-1]))
-        / np.float32(h1.shape[0])
-    )
-
-
+# step and are pinned there. (tf_rgbuv_histogram / tf_hellinger live in
+# scripts/tf_reference_nets.py, shared with the trajectory fixtures.)
 def histogram_losses(gv, dv):
     fake_t = generator_forward(gv, tf.constant(source), "tanh")
     d_real_t = discriminator_forward(dv, tf.constant(real), tf.constant(source))

@@ -109,6 +109,39 @@ def parity_input(name: str, shape) -> np.ndarray:
     return rng.uniform(-1.0, 1.0, size=shape).astype(np.float32)
 
 
+# Full gradient/delta tensors are pinned whole for variables at or under
+# this many elements (norm params, biases, the small conv kernels); every
+# variable gets its L2 norm pinned, and larger ones get the random
+# projections. Shipping all 29.3M full gradients would cost ~120 MB like
+# the weights would.
+GRAD_FULL_MAX_ELEMS = 8192
+
+
+def grad_fixture_arrays(grads: dict, prefix: str) -> dict:
+    """Per-variable pins for a dict of gradient/delta arrays: L2 norm for
+    every var, the full tensor for small vars, and N_GRAD_PROJECTIONS fixed
+    random projections for the large vars (deterministic directions
+    regenerated by both sides from the canonical name, projection_vector) —
+    a norm alone cannot see a rotation-like structured error; the
+    projections can. Canonical names are slash-separated; npz keys use '.'
+    (npz keys cannot contain '/'... they can, but keep them readable).
+    Used by scripts/make_golden_networks.py and
+    scripts/make_golden_trajectory.py; the matching reader is
+    tests/test_parity.py::_assert_grads_match."""
+    out = {}
+    for name, g in grads.items():
+        g = np.asarray(g, np.float32)
+        key = name.replace("/", ".")
+        out[f"{prefix}norm.{key}"] = np.float32(
+            np.linalg.norm(g.astype(np.float64))
+        )
+        if g.size <= GRAD_FULL_MAX_ELEMS:
+            out[f"{prefix}full.{key}"] = g
+        else:
+            out[f"{prefix}proj.{key}"] = grad_projections(name, g)
+    return out
+
+
 def flax_generator_grads_to_tf(tree) -> dict:
     """Map a Flax UnetGenerator gradient tree back to canonical TF-layout
     names (the inverse walk of flax_generator_params).
