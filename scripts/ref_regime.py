@@ -1,0 +1,104 @@
+"""The shared measured-baseline training regime (TF reference vs build).
+
+Defines everything BOTH sides of the measured training-quality comparison
+must agree on — initial weights, batch order, eval protocol — so the only
+difference between scripts/reference_train_tf.py (TF 2.21 running the
+reference formulas) and scripts/compare_reference_train.py (the build's
+production step path) is the framework under test.
+
+Regime choices, documented for the record:
+  - Reference-faithful init: conv kernels N(0, 0.02) (networks.py:7),
+    biases/offsets zero, norm scales one — regenerated deterministically
+    from canonical names so both frameworks start from identical arrays.
+  - Dropout OFF on both sides: the tight-comparability regime the round-3
+    verdict asked for (dropout RNG cannot be matched across frameworks;
+    with it on, only tolerance bands would be comparable).
+  - Batch order: per-epoch permutations of the train split from one
+    numpy Generator seeded with the reference SEED (47), drop-remainder
+    (62 full batches of 4 per 250-image epoch). The reference's
+    tf.data shuffle order itself is not reproducible outside TF's RNG;
+    what matters for the comparison is that both sides consume the
+    identical sequence of real sprite batches.
+  - Eval: L1 on the full 44-image test split (mean |target - G(source)|
+    on the [-1, 1] scale), the reference's reported quality metric
+    (side2side_model.py::report_l1 / evaluate_l1), with the deterministic
+    generator.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+_repo_root = os.path.join(os.path.dirname(__file__), "..")
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
+
+from tests import parity_utils as pu  # noqa: E402
+
+SEED = 47
+BATCH = 4
+
+
+def reference_init(spec) -> dict:
+    """Reference-faithful deterministic init (networks.py:7): convs
+    N(0, 0.02) keyed by canonical name, biases/offsets 0, scales 1."""
+    out = {}
+    for name, shape, kind in spec:
+        if kind == "conv":
+            out[name] = pu.make_param(name, shape, "conv")
+        elif kind in ("bias", "offset"):
+            out[name] = np.zeros(shape, np.float32)
+        elif kind == "scale":
+            out[name] = np.ones(shape, np.float32)
+        else:
+            raise ValueError(kind)
+    return out
+
+
+def batch_order(n_train: int, steps: int, batch: int = BATCH) -> np.ndarray:
+    """(steps, batch) train-split indices: concatenated epoch permutations,
+    drop-remainder, from one Generator seeded with the reference SEED."""
+    rng = np.random.default_rng(SEED)
+    per_epoch = n_train // batch
+    order = []
+    while len(order) < steps:
+        perm = rng.permutation(n_train)
+        for k in range(per_epoch):
+            order.append(perm[k * batch : (k + 1) * batch])
+            if len(order) == steps:
+                break
+    return np.asarray(order, np.int64)
+
+
+def load_splits():
+    """(train_src, train_tgt, test_src, test_tgt) as raw uint8 arrays for
+    the reference's default front -> right pair."""
+    from palette_and_histo_gan_tpu.config import (
+        DIRECTION_FRONT,
+        DIRECTION_RIGHT,
+        default_data_root,
+    )
+    from palette_and_histo_gan_tpu.data.loader import load_split_arrays
+
+    root = default_data_root()
+    return (
+        load_split_arrays(root, "train", DIRECTION_FRONT),
+        load_split_arrays(root, "train", DIRECTION_RIGHT),
+        load_split_arrays(root, "test", DIRECTION_FRONT),
+        load_split_arrays(root, "test", DIRECTION_RIGHT),
+    )
+
+
+def normalize(u8: np.ndarray) -> np.ndarray:
+    """[0, 255] uint8 -> [-1, 1] float32 (dataset_utils.py:39-48)."""
+    return u8.astype(np.float32) / 127.5 - 1.0
+
+
+def window_means(values, n_windows: int = 5):
+    """Mean over equal step windows — the macroscopic trajectory summary
+    used for the cross-framework comparison (microscopic trajectories
+    decorrelate chaotically; see tests/test_parity.py TIGHT_TOLS note)."""
+    values = np.asarray(values, np.float64)
+    edges = np.linspace(0, len(values), n_windows + 1).astype(int)
+    return [float(values[a:b].mean()) for a, b in zip(edges[:-1], edges[1:])]

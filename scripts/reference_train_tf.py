@@ -1,0 +1,152 @@
+"""Measured REFERENCE-side training baseline: the reference formulas in TF.
+
+Trains the reference baseline-no-aug model (and optionally the histogram
+variant) for a reduced schedule on the real vendored sprites in TF 2.21
+CPU, using the raw-tf.nn reimplementation of the reference networks
+(scripts/tf_reference_nets.py — the same code the golden parity fixtures
+are generated with) and the shared regime (scripts/ref_regime.py: identical
+init, batch order, eval protocol as the build's comparison run).
+
+This produces the first *measured reference-side* loss/L1 trajectory to put
+next to the build's numbers in BASELINE.md — before this, the build's
+training-quality tables were self-measured only. The full reference
+schedule (160 epochs) is hours on this 1-core host; the reduced schedule is
+the comparison regime, run identically on both sides by
+scripts/compare_reference_train.py.
+
+Ref: /root/reference/side2side_model.py:67-122 (fit loop),
+pix2pix_model.py:44-56 (losses), experiments.ipynb cell 10 (schedule).
+
+Run from the repo root:
+  python scripts/reference_train_tf.py --steps 1000 --out reference_train_tf.json
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+
+import ref_regime
+from tf_reference_nets import (
+    bce,
+    discriminator_forward,
+    generator_forward,
+    pu,
+    tf,
+    tf_hellinger,
+    tf_rgbuv_histogram,
+)
+
+
+def train(variant: str, steps: int, eval_every: int) -> dict:
+    assert variant in ("baseline-no-aug", "histogram")
+    lambda_l1 = 100.0 if variant == "baseline-no-aug" else 30.0
+    use_hist = variant == "histogram"
+
+    train_src_u8, train_tgt_u8, test_src_u8, test_tgt_u8 = ref_regime.load_splits()
+    train_src = ref_regime.normalize(train_src_u8)
+    train_tgt = ref_regime.normalize(train_tgt_u8)
+    test_src = tf.constant(ref_regime.normalize(test_src_u8))
+    test_tgt = tf.constant(ref_regime.normalize(test_tgt_u8))
+    order = ref_regime.batch_order(len(train_src), steps)
+
+    gv = {
+        k: tf.Variable(v)
+        for k, v in ref_regime.reference_init(pu.generator_param_spec(4, 4)).items()
+    }
+    dv = {
+        k: tf.Variable(v)
+        for k, v in ref_regime.reference_init(pu.discriminator_param_spec(4)).items()
+    }
+    g_opt = tf.keras.optimizers.Adam(2e-4, beta_1=0.5)  # pix2pix_model.py:28
+    d_opt = tf.keras.optimizers.Adam(2e-4, beta_1=0.5)
+    ng, nd = sorted(gv), sorted(dv)
+
+    @tf.function
+    def step(src, tgt):
+        with tf.GradientTape(persistent=True) as tape:
+            fake = generator_forward(gv, src, "tanh")
+            d_real = discriminator_forward(dv, tgt, src)
+            d_fake = discriminator_forward(dv, fake, src)
+            g_adv = bce(tf.ones_like(d_fake), d_fake)
+            g_l1 = tf.reduce_mean(tf.abs(tgt - fake))
+            g_loss = g_adv + lambda_l1 * g_l1
+            if use_hist:
+                g_loss = g_loss + tf_hellinger(
+                    tf_rgbuv_histogram(tgt), tf_rgbuv_histogram(fake)
+                )
+            d_loss = bce(tf.ones_like(d_real), d_real) + bce(
+                tf.zeros_like(d_fake), d_fake
+            )
+        g_grads = tape.gradient(g_loss, gv)
+        d_grads = tape.gradient(d_loss, dv)
+        g_opt.apply_gradients(zip([g_grads[k] for k in ng], [gv[k] for k in ng]))
+        d_opt.apply_gradients(zip([d_grads[k] for k in nd], [dv[k] for k in nd]))
+        return g_loss, d_loss, g_adv, g_l1
+
+    @tf.function
+    def eval_l1():
+        # side2side_model.py evaluate_l1: mean |target - G(source)| on the
+        # test split, [-1, 1] scale
+        fake = generator_forward(gv, test_src, "tanh")
+        return tf.reduce_mean(tf.abs(test_tgt - fake))
+
+    curves = {"g_total": [], "d_total": [], "g_adv": [], "g_l1": []}
+    eval_steps, eval_l1s = [], []
+    t0 = time.time()
+    for k in range(steps):
+        idx = order[k]
+        g_loss, d_loss, g_adv, g_l1 = step(
+            tf.constant(train_src[idx]), tf.constant(train_tgt[idx])
+        )
+        curves["g_total"].append(float(g_loss))
+        curves["d_total"].append(float(d_loss))
+        curves["g_adv"].append(float(g_adv))
+        curves["g_l1"].append(float(g_l1))
+        if (k + 1) % eval_every == 0 or k == 0:
+            l1 = float(eval_l1())
+            eval_steps.append(k + 1)
+            eval_l1s.append(l1)
+            print(
+                f"step {k+1:5d}: G {float(g_loss):8.4f} D {float(d_loss):7.4f} "
+                f"train_l1 {float(g_l1):7.4f} test_l1 {l1:7.4f} "
+                f"({time.time()-t0:6.1f}s)",
+                flush=True,
+            )
+    wall = time.time() - t0
+    return {
+        "framework": f"tensorflow-{tf.__version__} (cpu, reference formulas)",
+        "variant": variant,
+        "steps": steps,
+        "batch": ref_regime.BATCH,
+        "dropout": "off (comparability regime, see scripts/ref_regime.py)",
+        "wall_seconds": wall,
+        "curves": curves,
+        "g_total_window_means": ref_regime.window_means(curves["g_total"]),
+        "d_total_window_means": ref_regime.window_means(curves["d_total"]),
+        "g_l1_window_means": ref_regime.window_means(curves["g_l1"]),
+        "eval_steps": eval_steps,
+        "eval_l1": eval_l1s,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variant", default="baseline-no-aug")
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--out", default="reference_train_tf.json")
+    args = ap.parse_args()
+    result = train(args.variant, args.steps, args.eval_every)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"wrote {args.out}: final test L1 {result['eval_l1'][-1]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

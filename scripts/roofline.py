@@ -1,0 +1,306 @@
+"""Composite step roofline: op-group floors vs measured device time.
+
+Round-3 verdict Weak #3: the per-group certifications (histogram backward
+bandwidth accounting, InstanceNorm stats micro-A/B, conv fusion cycle
+estimates) never summed the flagship step into ONE table. This script
+produces that table: it captures a device trace of the production train
+chunk (reusing scripts/trace_ops.py's capture + xplane parsing), parses the
+compiled program's optimized HLO to get every op's actual HBM traffic
+(operand + result buffer bytes), buckets ops into op groups, and prints per
+group:
+
+  measured ms | HBM floor (bytes / 819 GB/s) | MXU floor (analytic FLOPs
+  from utils/flops.py at 197 bf16-TFLOP/s) | ratio to max(floor)
+
+plus the composite: step measured vs sum-of-group-floors, i.e. "the step is
+X% above its composite max(HBM, MXU) floor". Groups far above both floors
+are either VPU-bound (the histogram backward — certified compute-bound by
+the round-3 bandwidth accounting and the 8-structure experiment matrix,
+docs/DESIGN.md) or the next optimization target.
+
+v5e-1 peaks used: 819 GB/s HBM, 197 TFLOP/s bf16 MXU.
+
+Usage:
+    python scripts/roofline.py [--variant histogram] [--batch 1024]
+    python scripts/roofline.py --aggregate-only   # reuse the last capture
+"""
+
+import argparse
+import collections
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+HBM_BW = 819e9  # v5e HBM bandwidth, bytes/s
+MXU_PEAK = 197e12  # v5e bf16 FLOP/s
+
+DTYPE_BYTES = {
+    "bf16": 2, "f16": 2, "f32": 4, "f64": 8, "s8": 1, "u8": 1,
+    "s16": 2, "u16": 2, "s32": 4, "u32": 4, "s64": 8, "u64": 8,
+    "pred": 1, "f8e4m3fn": 1, "f8e5m2": 1, "s4": 1, "u4": 1,
+}
+
+_SHAPE_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
+
+
+def _shape_bytes(dtype: str, dims: str) -> int:
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * DTYPE_BYTES.get(dtype, 4)
+
+
+def parse_hlo_bytes(hlo_path: str) -> dict:
+    """name -> (result_bytes, operand_bytes) for every top-level HLO op.
+
+    Result bytes come from the def line's own shape(s); operand bytes from
+    the referenced defs' result shapes. Only ENTRY-computation defs matter
+    (the traced ops are top-level instructions; fused computations execute
+    inside their fusion and never touch HBM themselves)."""
+    result_bytes = {}
+    operands = {}
+    def_re = re.compile(r"^\s+(?:ROOT )?%([\w.\-]+) = (.*)$")
+    for line in open(hlo_path):
+        m = def_re.match(line)
+        if not m:
+            continue
+        name, rest = m.group(1), m.group(2)
+        # shapes before the opcode: "(bf16[...], f32[...]) op(...)" (tuple)
+        # or "bf16[...]{layout} op(...)"
+        head = rest.split("(", 1)[0] if not rest.startswith("(") else rest[
+            1 : rest.index(")")
+        ]
+        result_bytes[name] = sum(
+            _shape_bytes(t, d) for t, d in _SHAPE_RE.findall(head)
+        )
+        # operand refs: inside the opcode's parens, before any attribute
+        # list. calls=%... / to_apply=%... must not count.
+        om = re.search(r"\w\(([^)]*)\)", rest[len(head):] if not rest.startswith("(") else rest)
+        ops = []
+        if om:
+            ops = re.findall(r"%([\w.\-]+)", om.group(1))
+        operands[name] = ops
+    out = {}
+    for name in result_bytes:
+        out[name] = (
+            result_bytes[name],
+            sum(result_bytes.get(o, 0) for o in operands.get(name, ())),
+        )
+    return out
+
+
+def load_trace(log_dir: str):
+    """(per-op seconds, per-op op_name metadata, steps) from the capture."""
+    import trace_ops as to_mod  # reuse the xplane machinery
+
+    # replicate trace_ops.aggregate's parsing, returning instead of printing
+    import glob
+    import importlib
+
+    meta_path = os.path.join(log_dir, "trace_ops_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    steps = meta["steps"]
+
+    xplane_pb2 = None
+    for mod in (
+        "tensorflow.tsl.profiler.protobuf.xplane_pb2",
+        "tensorflow.core.profiler.protobuf.xplane_pb2",
+        "tsl.profiler.protobuf.xplane_pb2",
+    ):
+        try:
+            xplane_pb2 = importlib.import_module(mod)
+            break
+        except ImportError:
+            continue
+    by_name = collections.Counter()
+    for path in glob.glob(os.path.join(log_dir, "**", "*.xplane.pb"), recursive=True):
+        xspace = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            xspace.ParseFromString(f.read())
+        for plane in xspace.planes:
+            if not plane.name.startswith("/device:TPU"):
+                continue
+            pmeta = plane.event_metadata
+            for line in plane.lines:
+                if line.name != "XLA Ops":
+                    continue
+                for ev in line.events:
+                    name = pmeta[ev.metadata_id].name
+                    if name.startswith(("%while", "jit_", "%jit")):
+                        continue
+                    by_name[name.lstrip("%").split(" ")[0]] += ev.duration_ps / 1e12
+
+    # op_name metadata from the exact HLO (same logic as trace_ops)
+    opname = {}
+    hlo_path = os.path.join(log_dir, "trace_ops_hlo.txt")
+    defs = {}
+    comp_meta = collections.defaultdict(collections.Counter)
+    cur = None
+    with open(hlo_path) as f:
+        for line in f:
+            mhead = re.match(r"%([\w.\-]+) \(", line)
+            if mhead:
+                cur = mhead.group(1)
+            mdef = re.match(r"\s+(?:ROOT )?%([\w.\-]+) = ", line)
+            name = mdef.group(1) if mdef else None
+            om = re.search(r'op_name="([^"]+)"', line)
+            cm = re.search(r"calls=%([\w.\-]+)", line)
+            if name:
+                defs[name] = (om.group(1) if om else "", cm.group(1) if cm else "")
+            elif cur and om:
+                comp_meta[cur][om.group(1)] += 1
+    for key in by_name:
+        om, call = defs.get(key, ("", ""))
+        if not om and call and comp_meta.get(call):
+            om = comp_meta[call].most_common(1)[0][0]
+        opname[key] = om.replace("jit(train_chunk)/while/body/closed_call/", "")
+    return by_name, opname, steps, meta
+
+
+def group_of(key: str, o: str) -> str:
+    """Bucket an op into its roofline group."""
+    n = key.lower()
+    bwd = o.startswith("transpose(")
+    if "rgbuv" in o or "hellinger" in o or "logsumexp" in o:
+        return "hist-bwd" if bwd else "hist-fwd"
+    if "yj,jkc,xk" in o or "hue" in o or "hsv" in o or "augment" in o:
+        return "augment"
+    if "PatchDiscriminator" in o:
+        return "D-bwd" if bwd else "D-fwd"
+    if "UnetGenerator" in o:
+        return "G-bwd" if bwd else "G-fwd"
+    if bwd:
+        return "loss-bwd"
+    if "copy" in n or "bitcast" in n or "convert" in n and not o:
+        return "copy/layout"
+    if "gather" in o or "gather" in n or "dynamic-slice" in n:
+        return "batch-gather"
+    if o:
+        return "loss/optimizer"
+    return "unattributed"
+
+
+def mxu_group_floors(config, batch: int) -> dict:
+    """Analytic MXU FLOPs per op group per STEP (utils/flops.py
+    conventions), converted to seconds at the bf16 peak."""
+    from palette_and_histo_gan_tpu.utils import flops as fl
+
+    g_fwd = fl._generator_fwd_flops(config) * batch
+    d_fwd = fl._discriminator_fwd_flops(config) * batch
+    hist = fl._histogram_dot_flops(config) * batch
+    groups = {
+        "G-fwd": g_fwd,  # one G forward
+        "G-bwd": 2.0 * g_fwd,  # input-grad + weight-grad conv passes
+        "D-fwd": 3.0 * d_fwd,  # fake (G loss) + real + fake (D loss)
+        # G-loss input-grad through D (1) + weight-grads for both D-loss
+        # forwards (2); indexed drops the argmax-blocked input-grad
+        "D-bwd": (2.0 if config.is_indexed else 3.0) * d_fwd,
+    }
+    if config.model == "histogram":
+        groups["hist-fwd"] = 2.0 * hist  # real + fake forward dots
+        groups["hist-bwd"] = 1.5 * hist  # 9 cotangent dots (tri)
+    return {k: v / MXU_PEAK for k, v in groups.items()}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="histogram")
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--log-dir", default="/tmp/phg_roofline")
+    p.add_argument("--aggregate-only", action="store_true")
+    p.add_argument("--json-out", default="")
+    args = p.parse_args()
+
+    if not args.aggregate_only:
+        import shutil
+
+        import trace_ops as to_mod
+
+        shutil.rmtree(args.log_dir, ignore_errors=True)
+        to_mod.capture(
+            args.variant, args.batch, args.dtype, args.steps, args.log_dir,
+            donate=True,
+        )
+
+    by_name, opname, steps, meta = load_trace(args.log_dir)
+    hbm = parse_hlo_bytes(os.path.join(args.log_dir, "trace_ops_hlo.txt"))
+
+    from palette_and_histo_gan_tpu.config import config_for_variant
+
+    config = config_for_variant(
+        meta["variant"], compute_dtype=meta["dtype"], batch_size=meta["batch"]
+    )
+    mxu = mxu_group_floors(config, meta["batch"])
+
+    meas = collections.Counter()
+    hbm_floor = collections.Counter()
+    for key, dur in by_name.items():
+        grp = group_of(key, opname.get(key, ""))
+        meas[grp] += dur / steps
+        res_b, op_b = hbm.get(key, (0, 0))
+        hbm_floor[grp] += (res_b + op_b) / HBM_BW
+
+    rows = []
+    total_meas = total_floor = 0.0
+    for grp in sorted(meas, key=lambda g: -meas[g]):
+        m = meas[grp] * 1e3
+        hf = hbm_floor[grp] * 1e3
+        mf = mxu.get(grp, 0.0) * 1e3
+        floor = max(hf, mf)
+        rows.append(
+            {
+                "group": grp,
+                "measured_ms": round(m, 3),
+                "hbm_floor_ms": round(hf, 3),
+                "mxu_floor_ms": round(mf, 3),
+                "bound": "mxu" if mf > hf else "hbm",
+                "ratio": round(m / floor, 2) if floor > 0 else None,
+            }
+        )
+        total_meas += m
+        total_floor += floor
+
+    print(
+        f"{'group':14s} {'measured':>9s} {'HBM floor':>10s} {'MXU floor':>10s}"
+        f" {'bound':>5s} {'ratio':>6s}"
+    )
+    for r in rows:
+        ratio = f"{r['ratio']:.2f}x" if r["ratio"] else "  -  "
+        print(
+            f"{r['group']:14s} {r['measured_ms']:8.3f}m {r['hbm_floor_ms']:9.3f}m"
+            f" {r['mxu_floor_ms']:9.3f}m {r['bound']:>5s} {ratio:>6s}"
+        )
+    print(
+        f"{'TOTAL':14s} {total_meas:8.3f}m {'':>10s} {total_floor:9.3f}m"
+        f"  -> step is {total_meas/total_floor:.2f}x its composite "
+        f"max(HBM,MXU) floor ({(total_meas/total_floor-1)*100:.0f}% above)"
+    )
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {
+                    "variant": meta["variant"],
+                    "batch": meta["batch"],
+                    "dtype": meta["dtype"],
+                    "rows": rows,
+                    "total_measured_ms": round(total_meas, 2),
+                    "total_floor_ms": round(total_floor, 2),
+                    "ratio": round(total_meas / total_floor, 3),
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {args.json_out}")
+
+
+if __name__ == "__main__":
+    main()
