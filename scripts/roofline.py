@@ -66,26 +66,27 @@ def parse_hlo_bytes(hlo_path: str) -> dict:
     result_bytes = {}
     operands = {}
     def_re = re.compile(r"^\s+(?:ROOT )?%([\w.\-]+) = (.*)$")
+    # "<shapes> <opcode>(<operand list>)": shapes (possibly a tuple, with
+    # layout annotations that themselves contain parens like T(8,128)) up
+    # to the first LOWERCASE opcode token followed by '('; the operand
+    # list holds only %refs and literals, never nested parens, so
+    # non-greedy-to-first-')' is safe. calls=%.../to_apply=%... come after
+    # the operand parens and must not count as operands.
+    line_re = re.compile(r"^(.*?) ([a-z][\w\-]*)\(([^)]*)\)")
     for line in open(hlo_path):
         m = def_re.match(line)
         if not m:
             continue
         name, rest = m.group(1), m.group(2)
-        # shapes before the opcode: "(bf16[...], f32[...]) op(...)" (tuple)
-        # or "bf16[...]{layout} op(...)"
-        head = rest.split("(", 1)[0] if not rest.startswith("(") else rest[
-            1 : rest.index(")")
-        ]
+        lm = line_re.match(rest)
+        if lm:
+            shapes_part, op_list = lm.group(1), lm.group(3)
+        else:
+            shapes_part, op_list = rest, ""
         result_bytes[name] = sum(
-            _shape_bytes(t, d) for t, d in _SHAPE_RE.findall(head)
+            _shape_bytes(t, d) for t, d in _SHAPE_RE.findall(shapes_part)
         )
-        # operand refs: inside the opcode's parens, before any attribute
-        # list. calls=%... / to_apply=%... must not count.
-        om = re.search(r"\w\(([^)]*)\)", rest[len(head):] if not rest.startswith("(") else rest)
-        ops = []
-        if om:
-            ops = re.findall(r"%([\w.\-]+)", om.group(1))
-        operands[name] = ops
+        operands[name] = re.findall(r"%([\w.\-]+)", op_list)
     out = {}
     for name in result_bytes:
         out[name] = (
@@ -164,21 +165,39 @@ def load_trace(log_dir: str):
     return by_name, opname, steps, meta
 
 
+# Groups whose HBM-floor attribution is NOT claimable: async prefetch
+# copies overlap compute (their bytes move on the DMA engines while the
+# cores run other ops) and donation/layout aliases may move nothing at all
+# — both measure far BELOW the naive buffer-bytes floor, so summing their
+# "floors" into the composite would understate the step's true ratio.
+# They contribute measured time only.
+NO_FLOOR_GROUPS = ("copy/layout", "unattributed")
+
+
 def group_of(key: str, o: str) -> str:
-    """Bucket an op into its roofline group."""
+    """Bucket an op into its roofline group (patterns verified against the
+    round-4 flagship HLO: histogram dots carry einsum-spec op_names
+    bpi,bij->bpj / bpj,bij->bpi; the fused Pallas augmentation is the
+    pallas_call custom call; conv fusions carry jvp(UnetGenerator)/... and
+    their backwards the transpose(jvp(...)) prefix)."""
     n = key.lower()
     bwd = o.startswith("transpose(")
-    if "rgbuv" in o or "hellinger" in o or "logsumexp" in o:
+    if "bij->" in o or o.endswith("jvp()/dot_general"):
+        # histogram einsum dots; the kOutput fusions around them include
+        # the in-fusion kernel-matrix rebuilds (docs/DESIGN.md round-3
+        # bandwidth accounting)
         return "hist-bwd" if bwd else "hist-fwd"
-    if "yj,jkc,xk" in o or "hue" in o or "hsv" in o or "augment" in o:
+    if "pallas" in o or "pallas" in n:
         return "augment"
+    if "yj,jkc,xk" in o or "hue" in o or "hsv" in o:
+        return "augment"  # the XLA augmentation path, when selected
     if "PatchDiscriminator" in o:
         return "D-bwd" if bwd else "D-fwd"
     if "UnetGenerator" in o:
         return "G-bwd" if bwd else "G-fwd"
     if bwd:
         return "loss-bwd"
-    if "copy" in n or "bitcast" in n or "convert" in n and not o:
+    if "copy" in n or "bitcast" in n:
         return "copy/layout"
     if "gather" in o or "gather" in n or "dynamic-slice" in n:
         return "batch-gather"
@@ -204,8 +223,11 @@ def mxu_group_floors(config, batch: int) -> dict:
         "D-bwd": (2.0 if config.is_indexed else 3.0) * d_fwd,
     }
     if config.model == "histogram":
-        groups["hist-fwd"] = 2.0 * hist  # real + fake forward dots
-        groups["hist-bwd"] = 1.5 * hist  # 9 cotangent dots (tri)
+        # analytic MINIMUM dot planes (one (size,HW)@(HW,size) per channel
+        # per histogram): fwd = 3 planes x 2 histograms; the tri backward
+        # runs 9 cotangent dot planes of the same shape (docs/DESIGN.md)
+        groups["hist-fwd"] = 2.0 * hist
+        groups["hist-bwd"] = 3.0 * hist
     return {k: v / MXU_PEAK for k, v in groups.items()}
 
 
@@ -253,7 +275,8 @@ def main():
     total_meas = total_floor = 0.0
     for grp in sorted(meas, key=lambda g: -meas[g]):
         m = meas[grp] * 1e3
-        hf = hbm_floor[grp] * 1e3
+        no_floor = grp in NO_FLOOR_GROUPS
+        hf = 0.0 if no_floor else hbm_floor[grp] * 1e3
         mf = mxu.get(grp, 0.0) * 1e3
         floor = max(hf, mf)
         rows.append(
@@ -262,7 +285,8 @@ def main():
                 "measured_ms": round(m, 3),
                 "hbm_floor_ms": round(hf, 3),
                 "mxu_floor_ms": round(mf, 3),
-                "bound": "mxu" if mf > hf else "hbm",
+                "bound": "n/a (overlapped/alias)" if no_floor
+                else ("mxu" if mf > hf else "hbm"),
                 "ratio": round(m / floor, 2) if floor > 0 else None,
             }
         )
@@ -275,9 +299,10 @@ def main():
     )
     for r in rows:
         ratio = f"{r['ratio']:.2f}x" if r["ratio"] else "  -  "
+        bound = r["bound"].split(" ")[0]
         print(
             f"{r['group']:14s} {r['measured_ms']:8.3f}m {r['hbm_floor_ms']:9.3f}m"
-            f" {r['mxu_floor_ms']:9.3f}m {r['bound']:>5s} {ratio:>6s}"
+            f" {r['mxu_floor_ms']:9.3f}m {bound:>5s} {ratio:>6s}"
         )
     print(
         f"{'TOTAL':14s} {total_meas:8.3f}m {'':>10s} {total_floor:9.3f}m"
