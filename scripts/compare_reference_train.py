@@ -39,11 +39,111 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
+def train_indexed(steps: int, eval_every: int) -> dict:
+    """The indexed family through the production step path; eval protocol
+    identical to scripts/reference_train_tf.py::train_indexed (L1 on
+    palette-decoded [0,255] images, shared decode in ref_regime)."""
+    from palette_and_histo_gan_tpu.config import config_for_variant
+    from palette_and_histo_gan_tpu.models import convert
+    from palette_and_histo_gan_tpu.train.state import TrainState, build_models
+    from palette_and_histo_gan_tpu.train.steps import make_train_step
+
+    config = config_for_variant(
+        "indexed", deterministic_dropout=True, donate_state=False
+    )
+    models = build_models(config)
+    gp = jax.tree_util.tree_map(
+        jnp.asarray,
+        convert.generator_tree_from_named(
+            ref_regime.reference_init(pu.generator_param_spec(1, 256))
+        ),
+    )
+    dp = jax.tree_util.tree_map(
+        jnp.asarray,
+        convert.discriminator_tree_from_named(
+            ref_regime.reference_init(pu.discriminator_param_spec(1))
+        ),
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=gp,
+        d_params=dp,
+        g_opt_state=models.g_tx.init(gp),
+        d_opt_state=models.d_tx.init(dp),
+        rng=jax.random.PRNGKey(0),
+    )
+    step_fn = make_train_step(config, models)
+
+    (tr_src, tr_tgt, _), (te_src, te_tgt, te_pal) = ref_regime.load_indexed_splits()
+    order = ref_regime.batch_order(len(tr_src), steps)
+    test_src_f = jnp.asarray(te_src.astype(np.float32))
+    decoded_real = ref_regime.decode_indexed(te_tgt, te_pal)
+
+    logits_gen = models.generator.clone(last_activation="linear")
+
+    @jax.jit
+    def test_fake_idx(g_params):
+        logits = logits_gen.apply({"params": g_params}, test_src_f, deterministic=True)
+        return jnp.argmax(logits, axis=-1)[..., None].astype(jnp.int32)
+
+    curves = {"g_total": [], "d_total": [], "g_adv": [], "segmentation": []}
+    eval_steps, eval_l1s = [], []
+    t0 = time.time()
+    for k in range(steps):
+        idx = order[k]
+        state, metrics = step_fn(
+            state,
+            jnp.asarray(tr_src[idx], jnp.int32),
+            jnp.asarray(tr_tgt[idx], jnp.int32),
+        )
+        curves["g_total"].append(float(metrics["generator/total_loss"]))
+        curves["d_total"].append(float(metrics["discriminator/total_loss"]))
+        curves["g_adv"].append(float(metrics["generator/adversarial_loss"]))
+        curves["segmentation"].append(
+            float(metrics["generator/segmentation_loss"])
+        )
+        if (k + 1) % eval_every == 0 or k == 0:
+            decoded_fake = ref_regime.decode_indexed(
+                np.asarray(test_fake_idx(state.g_params)), te_pal
+            )
+            l1 = float(np.abs(decoded_real - decoded_fake).mean())
+            eval_steps.append(k + 1)
+            eval_l1s.append(l1)
+            print(
+                f"step {k+1:5d}: G {curves['g_total'][-1]:8.4f} "
+                f"D {curves['d_total'][-1]:7.4f} "
+                f"seg {curves['segmentation'][-1]:7.4f} test_l1 {l1:8.4f} "
+                f"({time.time()-t0:6.1f}s)",
+                flush=True,
+            )
+    wall = time.time() - t0
+    return {
+        "framework": f"jax-{jax.__version__} ({jax.default_backend()}, "
+        "production step path)",
+        "variant": "indexed",
+        "steps": steps,
+        "batch": ref_regime.BATCH,
+        "dropout": "off (comparability regime, see scripts/ref_regime.py)",
+        "wall_seconds": wall,
+        "curves": curves,
+        "g_total_window_means": ref_regime.window_means(curves["g_total"]),
+        "d_total_window_means": ref_regime.window_means(curves["d_total"]),
+        "segmentation_window_means": ref_regime.window_means(
+            curves["segmentation"]
+        ),
+        "eval_steps": eval_steps,
+        "eval_l1": eval_l1s,
+    }
+
+
 def train(variant: str, steps: int, eval_every: int) -> dict:
     from palette_and_histo_gan_tpu.config import config_for_variant
     from palette_and_histo_gan_tpu.models import convert
     from palette_and_histo_gan_tpu.train.state import TrainState, build_models
     from palette_and_histo_gan_tpu.train.steps import make_train_step
+
+    if variant == "indexed":
+        return train_indexed(steps, eval_every)
 
     config = config_for_variant(
         variant,
@@ -134,7 +234,10 @@ def compare(build: dict, ref: dict) -> None:
         ("g_total_window_means", "G loss"),
         ("d_total_window_means", "D loss"),
         ("g_l1_window_means", "train L1"),
+        ("segmentation_window_means", "seg CE"),
     ):
+        if key not in build or key not in ref:
+            continue
         b, r = build[key], ref[key]
         print(f"{label:9s} windows:")
         for i, (bv, rv) in enumerate(zip(b, r)):

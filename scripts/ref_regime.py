@@ -95,6 +95,41 @@ def normalize(u8: np.ndarray) -> np.ndarray:
     return u8.astype(np.float32) / 127.5 - 1.0
 
 
+def load_indexed_splits():
+    """((src, tgt, palettes) train, (src, tgt, palettes) test) as numpy,
+    via the build's indexed dataset pipeline — the palette extraction is
+    itself golden-tested against TF (tests/test_palette.py), so feeding
+    BOTH frameworks the same maps isolates the training comparison from
+    the data pipeline."""
+    from palette_and_histo_gan_tpu.config import config_for_variant
+    from palette_and_histo_gan_tpu.data.loader import make_indexed_datasets
+
+    cfg = config_for_variant("indexed")
+    train_ds, test_ds = make_indexed_datasets(cfg)
+
+    def host(ds):
+        return (
+            np.asarray(ds.sources),
+            np.asarray(ds.targets),
+            np.asarray(ds.palettes),
+        )
+
+    return host(train_ds), host(test_ds)
+
+
+def decode_indexed(idx_maps: np.ndarray, palettes: np.ndarray) -> np.ndarray:
+    """(N, 64, 64, 1) index maps -> (N, 64, 64, 4) float32 [0, 255] RGBA
+    via per-pair palettes. The reference evaluates indexed L1 on the
+    palette-DECODED images (pix2pix_model.py:433-452); out-of-range labels
+    (the scatter-sum quirk) are clamped exactly like
+    ops/palette.py::indexed_to_rgba, so both frameworks share one eval
+    protocol."""
+    idx = np.clip(idx_maps[..., 0], 0, palettes.shape[1] - 1)
+    return np.stack(
+        [palettes[i][idx[i]] for i in range(idx.shape[0])]
+    ).astype(np.float32)
+
+
 def window_means(values, n_windows: int = 5):
     """Mean over equal step windows — the macroscopic trajectory summary
     used for the cross-framework comparison (microscopic trajectories

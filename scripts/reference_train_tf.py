@@ -34,6 +34,7 @@ import numpy as np
 import ref_regime
 from tf_reference_nets import (
     bce,
+    cce,
     discriminator_forward,
     generator_forward,
     pu,
@@ -43,7 +44,113 @@ from tf_reference_nets import (
 )
 
 
+def train_indexed(steps: int, eval_every: int) -> dict:
+    """The indexed family (pix2pix_model.py:295-325): G 1->256 softmax on
+    index maps from the build's golden-tested dataset pipeline; the
+    adversarial term is argmax-blocked so G trains on 0.01*CCE alone; eval
+    is L1 on palette-DECODED [0,255] images (the reference's indexed
+    protocol, pix2pix_model.py:433-452)."""
+    (tr_src, tr_tgt, _), (te_src, te_tgt, te_pal) = ref_regime.load_indexed_splits()
+    order = ref_regime.batch_order(len(tr_src), steps)
+    test_src_f = tf.constant(te_src.astype(np.float32))
+    decoded_real = ref_regime.decode_indexed(te_tgt, te_pal)
+
+    gv = {
+        k: tf.Variable(v)
+        for k, v in ref_regime.reference_init(pu.generator_param_spec(1, 256)).items()
+    }
+    dv = {
+        k: tf.Variable(v)
+        for k, v in ref_regime.reference_init(pu.discriminator_param_spec(1)).items()
+    }
+    g_opt = tf.keras.optimizers.Adam(2e-4, beta_1=0.5)
+    d_opt = tf.keras.optimizers.Adam(2e-4, beta_1=0.5)
+    ng, nd = sorted(gv), sorted(dv)
+    b = ref_regime.BATCH
+
+    @tf.function
+    def step(src, real_idx):
+        with tf.GradientTape(persistent=True) as tape:
+            probs = generator_forward(gv, src, "softmax")
+            fake_idx = tf.expand_dims(
+                tf.argmax(probs, axis=-1, output_type=tf.int32), -1
+            )  # pix2pix_model.py:287 — gradient-blocked
+            d_real = discriminator_forward(
+                dv, tf.cast(real_idx, tf.float32), src
+            )
+            d_fake = discriminator_forward(
+                dv, tf.cast(fake_idx, tf.float32), src
+            )
+            one_hot = tf.reshape(
+                tf.one_hot(real_idx, 256, axis=-1), [b, 64, 64, -1]
+            )  # labels > 255 (scatter-sum quirk) one-hot to all-zero rows
+            g_adv = bce(tf.ones_like(d_fake), d_fake)
+            seg = cce(one_hot, probs)
+            g_loss = g_adv + 0.01 * seg
+            d_loss = bce(tf.ones_like(d_real), d_real) + bce(
+                tf.zeros_like(d_fake), d_fake
+            )
+        g_grads = tape.gradient(g_loss, gv)
+        d_grads = tape.gradient(d_loss, dv)
+        g_grads = {
+            k: (tf.zeros_like(gv[k]) if g is None else g)
+            for k, g in g_grads.items()
+        }
+        g_opt.apply_gradients(zip([g_grads[k] for k in ng], [gv[k] for k in ng]))
+        d_opt.apply_gradients(zip([d_grads[k] for k in nd], [dv[k] for k in nd]))
+        return g_loss, d_loss, g_adv, seg
+
+    @tf.function
+    def test_fake_idx():
+        probs = generator_forward(gv, test_src_f, "softmax")
+        return tf.expand_dims(tf.argmax(probs, axis=-1, output_type=tf.int32), -1)
+
+    curves = {"g_total": [], "d_total": [], "g_adv": [], "segmentation": []}
+    eval_steps, eval_l1s = [], []
+    t0 = time.time()
+    for k in range(steps):
+        idx = order[k]
+        g_loss, d_loss, g_adv, seg = step(
+            tf.constant(tr_src[idx].astype(np.float32)),
+            tf.constant(tr_tgt[idx].astype(np.int32)),
+        )
+        curves["g_total"].append(float(g_loss))
+        curves["d_total"].append(float(d_loss))
+        curves["g_adv"].append(float(g_adv))
+        curves["segmentation"].append(float(seg))
+        if (k + 1) % eval_every == 0 or k == 0:
+            decoded_fake = ref_regime.decode_indexed(
+                test_fake_idx().numpy(), te_pal
+            )
+            l1 = float(np.abs(decoded_real - decoded_fake).mean())
+            eval_steps.append(k + 1)
+            eval_l1s.append(l1)
+            print(
+                f"step {k+1:5d}: G {float(g_loss):8.4f} D {float(d_loss):7.4f} "
+                f"seg {float(seg):7.4f} test_l1 {l1:8.4f} "
+                f"({time.time()-t0:6.1f}s)",
+                flush=True,
+            )
+    wall = time.time() - t0
+    return {
+        "framework": f"tensorflow-{tf.__version__} (cpu, reference formulas)",
+        "variant": "indexed",
+        "steps": steps,
+        "batch": b,
+        "dropout": "off (comparability regime, see scripts/ref_regime.py)",
+        "wall_seconds": wall,
+        "curves": curves,
+        "g_total_window_means": ref_regime.window_means(curves["g_total"]),
+        "d_total_window_means": ref_regime.window_means(curves["d_total"]),
+        "segmentation_window_means": ref_regime.window_means(curves["segmentation"]),
+        "eval_steps": eval_steps,
+        "eval_l1": eval_l1s,
+    }
+
+
 def train(variant: str, steps: int, eval_every: int) -> dict:
+    if variant == "indexed":
+        return train_indexed(steps, eval_every)
     assert variant in ("baseline-no-aug", "histogram")
     lambda_l1 = 100.0 if variant == "baseline-no-aug" else 30.0
     use_hist = variant == "histogram"
