@@ -185,6 +185,16 @@ class Config:
     # "subpixel" (exact phase-decomposed alternative, kept for comparison;
     # the interleave shuffles cost more than the dilation saves here)
     transpose_impl: str = "lax_flipgrad"
+    # PRNG used for the dropout masks: "threefry" (JAX default — ~10 VPU
+    # ops/element, fused into the UpBlock conv fusions) or "rbg" (the
+    # TPU-hardware-backed RBG generator — the default). Dropout draws are
+    # the one place RNG implementation is free: the reference's TF dropout
+    # stream cannot be matched either way (the parity fixtures disable
+    # dropout), so only mask generation COST differs. Measured on the
+    # flagship (device trace): dropout costs 1.83 ms/step total under
+    # threefry (deterministic_dropout=True A/B: 43.23 -> 41.40); rbg
+    # recovers 1.37 of it (43.23 -> 41.86, -3.2%/step). docs/DESIGN.md.
+    dropout_prng: str = "rbg"
     # Parity/testing hook: run the generator's dropout layers in
     # deterministic (identity) mode inside the TRAIN steps. The reference
     # always trains with dropout active (training=True everywhere,
@@ -232,6 +242,7 @@ class Config:
                 self.compute_dtype, ("float32", "bfloat16")
             ),
             "data_parallel": (self.data_parallel, ("auto", "on", "off")),
+            "dropout_prng": (self.dropout_prng, ("threefry", "rbg")),
         }
         for field, (value, valid) in _check.items():
             if value not in valid:

@@ -77,6 +77,27 @@ def _apply_discriminator(models: Models, params, target, source):
     return models.discriminator.apply({"params": params}, target, source)
 
 
+def _dropout_key(config: Config, key):
+    """Re-wrap the step's dropout key per config.dropout_prng.
+
+    "rbg": the mask stream runs on the TPU's hardware RBG instead of
+    ~10-VPU-op threefry — dropout draws are implementation-free (the
+    reference's TF stream cannot be matched either way; parity fixtures
+    disable dropout), so only generation cost changes. The 2-word source
+    key is duplicated into the 4-word RBG key: step keys are distinct, so
+    per-step mask streams stay distinct."""
+    if getattr(config, "dropout_prng", "threefry") != "rbg":
+        return key
+    data = (
+        jax.random.key_data(key)
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key)
+        else key
+    )
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data]), impl="rbg"
+    )
+
+
 def _optimizer_updates(models: Models, state: TrainState, g_grads, d_grads, rng):
     g_updates, g_opt_state = models.g_tx.update(
         g_grads, state.g_opt_state, state.g_params
@@ -133,6 +154,7 @@ def rgba_train_step(
     over the data axis like the rest of the step.
     """
     rng, k_aug, k_drop = jax.random.split(state.rng, 3)
+    k_drop = _dropout_key(config, k_drop)
 
     if config.uses_augmentation and _resolve_augment_impl(config, mesh) == "pallas":
         # fused one-pass kernel; consumes the gathered batch directly —
@@ -279,6 +301,7 @@ def indexed_train_step(
     gradient — only lambda_seg * CCE trains G, as in the reference.
     """
     rng, k_drop = jax.random.split(state.rng)
+    k_drop = _dropout_key(config, k_drop)
 
     source = source_idx.astype(jnp.float32)  # (B, H, W, 1), raw index scale
     real = target_idx.astype(jnp.float32)
