@@ -523,6 +523,10 @@ def generate_core(config: Config, models: Models) -> Callable:
     models = inference_models(config, models)
 
     def generate(g_params, source, rng):
+        # same dropout-PRNG selection as the train steps (dropout stays
+        # ACTIVE in every reference generate call; only mask-generation
+        # cost differs between impls)
+        rng = _dropout_key(config, rng)
         if config.is_indexed:
             # argmax over logits == argmax over softmax(logits), skipping the
             # (B, H, W, 256) probability tensor (pix2pix_model.py:283-287)
