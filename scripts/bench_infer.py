@@ -102,12 +102,13 @@ def run(
     dtype: str = "bfloat16",
     infer_head: str | None = None,
     deterministic: bool = False,
+    overrides: dict | None = None,
 ) -> dict:
     from palette_and_histo_gan_tpu.config import config_for_variant
     from palette_and_histo_gan_tpu.train.state import build_models, create_train_state
     from palette_and_histo_gan_tpu.utils.flops import _generator_fwd_flops
 
-    overrides = {}
+    overrides = dict(overrides or {})
     if infer_head is not None:
         overrides["infer_head_conv"] = infer_head
     config = config_for_variant(
@@ -186,7 +187,21 @@ def main():
         help="dropout OFF (exported-program serving semantics) instead of "
         "the reference's dropout-on generate quirk",
     )
+    p.add_argument(
+        "--override", action="append", default=[], metavar="KEY=VALUE",
+        help="config override for device-clock A/Bs (literal-eval'd, "
+        "string fallback), e.g. --override dropout_prng=threefry",
+    )
     args = p.parse_args()
+    import ast
+
+    cli_overrides = {}
+    for item in args.override:
+        key, _, value = item.partition("=")
+        try:
+            cli_overrides[key] = ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            cli_overrides[key] = value
     for batch in (int(b) for b in args.batches.split(",")):
         print(
             json.dumps(
@@ -197,6 +212,7 @@ def main():
                     args.dtype,
                     args.infer_head,
                     args.deterministic,
+                    cli_overrides,
                 )
             ),
             flush=True,
