@@ -194,6 +194,13 @@ class Config:
     # flagship (device trace): dropout costs 1.83 ms/step total under
     # threefry (deterministic_dropout=True A/B: 43.23 -> 41.40); rbg
     # recovers 1.37 of it (43.23 -> 41.86, -3.2%/step). docs/DESIGN.md.
+    # "rbg" means "hardware RBG wherever it is measured-faster AND
+    # semantically safe": mesh-sharded paths always keep threefry (XLA's
+    # RngBitGenerator stream has no SPMD-invariance/prefix-stability
+    # guarantees — parallel/dp.py's bit-equality contract needs them), and
+    # the dropout-on generate path keeps threefry above
+    # steps.RBG_GENERATE_MAX_BATCH (measured large-batch serving
+    # regression). See train/steps.py::_dropout_key.
     dropout_prng: str = "rbg"
     # Parity/testing hook: run the generator's dropout layers in
     # deterministic (identity) mode inside the TRAIN steps. The reference

@@ -49,6 +49,14 @@ class ConvBN(nn.Module):
             # (pretrained weights overwrite this when available)
             kernel_init=nn.initializers.he_normal(),
             dtype=self.dtype,
+            # fp32-accurate convs: the TPU default is bf16-grade MXU passes,
+            # whose ~1e-3 relative quantization noise swamps the sample-
+            # dependent feature signal under the reference's FID quirk chain
+            # (inputs live in [-1.008, -0.984], so features are ~99.9%
+            # constant — measured: the TPU-vs-CPU chain disagreed 5.7x on
+            # identical inputs before this pin). FID is off the training hot
+            # path; the cost is invisible end to end.
+            precision=jax.lax.Precision.HIGHEST,
         )(x)
         # inference-only: BN folds to a per-channel affine using stored stats
         features = x.shape[-1]

@@ -44,10 +44,13 @@ def make_dp_train_step(
     data-axis size; shard_batch places host arrays correctly.
     """
     if config.is_indexed:
-        fn = partial(indexed_train_step, config, models)
+        # mesh bound statically: pins the dropout PRNG to threefry (the
+        # only impl with SPMD-invariance guarantees; see steps._dropout_key)
+        fn = partial(indexed_train_step, config, models, mesh=mesh)
     else:
         # mesh bound statically: switches the Pallas augmentation (when
-        # selected) to its shard_map form, which GSPMD can't partition itself
+        # selected) to its shard_map form, which GSPMD can't partition
+        # itself, and pins the dropout PRNG to threefry (see _dropout_key)
         fn = partial(rgba_train_step, config, models, mesh=mesh)
 
     data_sh = batch_sharding(mesh, config.data_axis)
@@ -83,7 +86,7 @@ def make_dp_train_chunk(
     from ..data.loader import batch_indices
 
     step_fn = (
-        _partial(indexed_train_step, config, models)
+        _partial(indexed_train_step, config, models, mesh=mesh)
         if config.is_indexed
         else _partial(rgba_train_step, config, models, mesh=mesh)
     )
@@ -133,12 +136,15 @@ def make_dp_generate_fn(config: Config, models: Models, mesh: Mesh) -> Callable:
     batch sizes (44 images, 6-image previews) rarely divide the device
     count, and jit rejects unevenly-sharded inputs — so the batch is padded
     to the next multiple of the data-axis size and the output sliced back.
-    This is EXACTLY equal to the single-device generate for every batch
-    size: JAX's counter-mode PRNG draws are prefix-stable (row i of an
-    (N, ...) draw depends only on the key and i, not N), so the dropout
-    masks of the first n rows are bit-identical under padding, and the
-    sharding itself does not change values (partitionable threefry;
-    asserted in tests/test_parallel.py).
+    This is EXACTLY equal to the single-device THREEFRY generate for every
+    batch size: binding `mesh` into generate_core pins the dropout PRNG to
+    partitionable threefry (steps._dropout_key — XLA's RngBitGenerator
+    stream is implementation-defined, with no prefix-stability or
+    SPMD-invariance guarantees, so "rbg" configs fall back here), whose
+    counter-mode draws ARE prefix-stable (row i of an (N, ...) draw depends
+    only on the key and i, not N). Hence the dropout masks of the first n
+    rows are bit-identical under padding, and the sharding itself does not
+    change values (asserted in tests/test_parallel.py).
     """
     import jax.numpy as jnp
 
@@ -148,7 +154,7 @@ def make_dp_generate_fn(config: Config, models: Models, mesh: Mesh) -> Callable:
     ndev = mesh.shape[config.data_axis]
 
     jitted = jax.jit(
-        generate_core(config, models),
+        generate_core(config, models, mesh=mesh),
         in_shardings=(None, data_sh, None),
         out_shardings=data_sh,
     )

@@ -77,7 +77,16 @@ def _apply_discriminator(models: Models, params, target, source):
     return models.discriminator.apply({"params": params}, target, source)
 
 
-def _dropout_key(config: Config, key):
+# Measured crossover for the dropout-on generate path (DESIGN.md, round-4/5
+# serving A/B on v5e, device clock): RBG mask generation wins at batch 256
+# (2.199 -> 2.090 ms) but loses at batch 1024 (9.571 -> 10.126 ms) where its
+# different fusion shapes cost more than the cheaper draws save. Batches up
+# to this bound use RBG under config.dropout_prng="rbg"; larger ones keep
+# threefry. Train steps are not batch-gated: RBG won at every trained batch.
+RBG_GENERATE_MAX_BATCH = 256
+
+
+def _dropout_key(config: Config, key, *, mesh=None, batch=None):
     """Re-wrap the step's dropout key per config.dropout_prng.
 
     "rbg": the mask stream runs on the TPU's hardware RBG instead of
@@ -85,8 +94,23 @@ def _dropout_key(config: Config, key):
     reference's TF stream cannot be matched either way; parity fixtures
     disable dropout), so only generation cost changes. The 2-word source
     key is duplicated into the 4-word RBG key: step keys are distinct, so
-    per-step mask streams stay distinct."""
+    per-step mask streams stay distinct.
+
+    Two guards keep "rbg" semantics safe and fast where it measurably isn't:
+      * mesh is not None -> threefry. XLA's RngBitGenerator stream is
+        implementation-defined: unlike partitionable threefry it is NOT
+        guaranteed prefix-stable under batch padding or invariant under
+        SPMD sharding, so every mesh-sharded path keeps threefry — that is
+        the contract behind parallel/dp.py's pad-and-slice generate and the
+        DP-vs-single bit-equality tests (tests/test_parallel.py).
+      * batch > RBG_GENERATE_MAX_BATCH (inference callers pass it) ->
+        threefry, per the measured large-batch serving regression.
+    """
     if getattr(config, "dropout_prng", "threefry") != "rbg":
+        return key
+    if mesh is not None:
+        return key
+    if batch is not None and batch > RBG_GENERATE_MAX_BATCH:
         return key
     data = (
         jax.random.key_data(key)
@@ -154,7 +178,7 @@ def rgba_train_step(
     over the data axis like the rest of the step.
     """
     rng, k_aug, k_drop = jax.random.split(state.rng, 3)
-    k_drop = _dropout_key(config, k_drop)
+    k_drop = _dropout_key(config, k_drop, mesh=mesh)
 
     if config.uses_augmentation and _resolve_augment_impl(config, mesh) == "pallas":
         # fused one-pass kernel; consumes the gathered batch directly —
@@ -292,16 +316,20 @@ def rgba_train_step(
 
 
 def indexed_train_step(
-    config: Config, models: Models, state: TrainState, source_idx, target_idx
+    config: Config, models: Models, state: TrainState, source_idx, target_idx,
+    *, mesh=None,
 ):
     """One step on palette-index maps (pix2pix_model.py:295-325).
 
     D consumes raw index maps cast to float (values 0..255); the G adversarial
     term flows through an argmax and therefore contributes no generator
     gradient — only lambda_seg * CCE trains G, as in the reference.
+
+    `mesh` (bound via functools.partial by parallel/dp.py, never traced)
+    only pins the dropout PRNG to threefry under SPMD (see _dropout_key).
     """
     rng, k_drop = jax.random.split(state.rng)
-    k_drop = _dropout_key(config, k_drop)
+    k_drop = _dropout_key(config, k_drop, mesh=mesh)
 
     source = source_idx.astype(jnp.float32)  # (B, H, W, 1), raw index scale
     real = target_idx.astype(jnp.float32)
@@ -505,7 +533,7 @@ def inference_models(config: Config, models: Models) -> Models:
     return models
 
 
-def generate_core(config: Config, models: Models) -> Callable:
+def generate_core(config: Config, models: Models, *, mesh=None) -> Callable:
     """Unjitted inference core mirroring Pix2PixModel.generate
     (pix2pix_model.py:58-60) and Pix2PixIndexedModel.generate (:283-287).
 
@@ -513,7 +541,8 @@ def generate_core(config: Config, models: Models) -> Callable:
     Indexed: index-map source -> int32 index map via argmax.
     Dropout stays ACTIVE (training=True in every reference generate call).
     Shared by the single-device jit (make_generate_fn) and the DP-sharded
-    jit (parallel.dp.make_dp_generate_fn) so both compute the same function.
+    jit (parallel.dp.make_dp_generate_fn, which binds `mesh`) so both
+    compute the same function.
 
     config.infer_head_conv selects an inference-only head-conv lowering
     (networks.py::NCHWOutConv) applied to the SAME params — in a program
@@ -523,10 +552,12 @@ def generate_core(config: Config, models: Models) -> Callable:
     models = inference_models(config, models)
 
     def generate(g_params, source, rng):
-        # same dropout-PRNG selection as the train steps (dropout stays
-        # ACTIVE in every reference generate call; only mask-generation
-        # cost differs between impls)
-        rng = _dropout_key(config, rng)
+        # same dropout-PRNG selection as the train steps, plus the serving
+        # batch gate: under config "rbg" the hardware RBG applies only up to
+        # RBG_GENERATE_MAX_BATCH (measured crossover; large batches keep
+        # threefry) and never under a mesh. source.shape is trace-static,
+        # so the selection costs nothing at run time.
+        rng = _dropout_key(config, rng, mesh=mesh, batch=source.shape[0])
         if config.is_indexed:
             # argmax over logits == argmax over softmax(logits), skipping the
             # (B, H, W, 256) probability tensor (pix2pix_model.py:283-287)

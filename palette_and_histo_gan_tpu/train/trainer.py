@@ -255,9 +255,23 @@ class Trainer:
 
         if "show_discriminator_output" in callbacks:
             print("Showing discriminator output patches (2 test + 2 train)...")
+            # the reference DISPLAYS these patch maps inline
+            # (pix2pix_model.py:161-229 via side2side_model.py:228-238); in a
+            # CLI context they land next to the preview grids: PNGs in the
+            # logs folder + TB images at the quantized step
             with self._phase("discriminator_debug"):
-                self.show_discriminated_images("test", 2)
-                self.show_discriminated_images("train", 2)
+                qstep = log_utils.quantize_step(step, update_steps)
+                run_dir = os.path.dirname(save_name)
+                for split in ("test", "train"):
+                    prefix = os.path.join(
+                        run_dir, f"discriminated_{split}_step_{step:06d}"
+                    )
+                    for i, img in enumerate(
+                        self.show_discriminated_images(
+                            split, 2, save_prefix=prefix
+                        )
+                    ):
+                        self.writer.image(f"{prefix}_{i}.png", img, qstep)
         if "evaluate_l1" in callbacks:
             with self._phase("evaluate_l1"):
                 l1_train, l1_test = self.report_l1(
@@ -319,12 +333,18 @@ class Trainer:
         return viz.preview_grid(src, tgt, fake, save_name, step)
 
     # -- discriminator patch debug (pix2pix_model.py:161-229) ---------------
-    def show_discriminated_images(self, dataset_name: str = "test", num_images: int = 2):
+    def show_discriminated_images(
+        self,
+        dataset_name: str = "test",
+        num_images: int = 2,
+        save_prefix: str | None = None,
+    ):
         ds = self.test_ds if dataset_name == "test" else self.train_ds
         config = self.config
         rng = jax.random.PRNGKey(config.seed + 1)
         outputs = []
         for i in range(num_images):
+            save_name = f"{save_prefix}_{i}.png" if save_prefix else None
             if config.is_indexed:
                 src = np.asarray(ds.sources[i : i + 1])
                 tgt = np.asarray(ds.targets[i : i + 1])
@@ -350,6 +370,7 @@ class Trainer:
                     np.asarray(indexed_to_rgba(fake[0], pal)),
                     real_p,
                     fake_p,
+                    save_name=save_name,
                     values_in_unit_range=True,
                 )
             else:
@@ -359,7 +380,8 @@ class Trainer:
                 real_p = np.asarray(self.discriminate_fn(self.state.d_params, tgt, src))[0]
                 fake_p = np.asarray(self.discriminate_fn(self.state.d_params, fake, src))[0]
                 img = viz.discriminator_debug_figure(
-                    src[0], tgt[0], fake[0], real_p, fake_p
+                    src[0], tgt[0], fake[0], real_p, fake_p,
+                    save_name=save_name,
                 )
             outputs.append(img)
         return outputs

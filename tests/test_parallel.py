@@ -35,7 +35,12 @@ def test_shard_batch_placement(mesh8):
 
 def test_dp_step_matches_single_device(mesh8):
     """Sharded-vs-single-device numerical equality (SURVEY.md §4)."""
-    config = config_for_variant("baseline-no-aug", donate_state=False)
+    # dropout_prng pinned: the DP-vs-single equality contract is proven in
+    # the threefry regime (mesh paths always run threefry; the single-device
+    # side must match it for bit-comparability — steps._dropout_key)
+    config = config_for_variant(
+        "baseline-no-aug", donate_state=False, dropout_prng="threefry"
+    )
     models = tiny_models(config)
     state = tiny_state(config, models)
     src, tgt = rgba_batch(seed=11, batch=8)
@@ -98,7 +103,8 @@ def test_dp_step_pallas_augment_matches_single(mesh8):
     from palette_and_histo_gan_tpu.train.steps import rgba_train_step
 
     config = config_for_variant(
-        "baseline", donate_state=False, augment_impl="pallas"
+        "baseline", donate_state=False, augment_impl="pallas",
+        dropout_prng="threefry",  # see test_dp_step_matches_single_device
     )
     models = tiny_models(config)
     state = tiny_state(config, models)
@@ -156,6 +162,7 @@ def test_dp_chunk_matches_single_device_chunk(mesh8, variant):
         batch_size=8,
         down_filters=(8,) * 6,
         up_filters=(8,) * 6,
+        dropout_prng="threefry",  # see test_dp_step_matches_single_device
     )
     models = build_models(config)
     state = create_train_state(config, models, jax.random.PRNGKey(3))
@@ -220,6 +227,7 @@ def test_dp_chunk_packed_pallas_matches_single_chunk(mesh8):
         augment_impl="pallas",
         down_filters=(8,) * 6,
         up_filters=(8,) * 6,
+        dropout_prng="threefry",  # see test_dp_step_matches_single_device
     )
     assert step_wants_packed(config, mesh8)
     models = build_models(config)
@@ -298,7 +306,9 @@ def test_dp_generate_equals_single_device(mesh8, variant, batch):
     argument in dp.make_dp_generate_fn)."""
     from palette_and_histo_gan_tpu.train.steps import make_generate_fn
 
-    config = config_for_variant(variant, donate_state=False)
+    config = config_for_variant(
+        variant, donate_state=False, dropout_prng="threefry"
+    )
     models = tiny_models(config)
     state = tiny_state(config, models)
 
@@ -359,6 +369,7 @@ def test_trainer_eval_runs_under_mesh(tmp_path):
         down_filters=(8,) * 6,
         up_filters=(8,) * 6,
         temp_folder=str(tmp_path),
+        dropout_prng="threefry",  # see test_dp_step_matches_single_device
     )
     dp_trainer = Trainer(config_for_variant("baseline-no-aug", **kwargs))
     assert dp_trainer.mesh is not None
@@ -376,3 +387,32 @@ def test_trainer_eval_runs_under_mesh(tmp_path):
     )
     fid_train, fid_test = dp_trainer.report_fid(num_images=16)
     assert np.isfinite(fid_train) and np.isfinite(fid_test)
+
+
+def test_dp_generate_rbg_config_falls_back_to_threefry(mesh8):
+    """Under config dropout_prng='rbg' (the production default), every
+    mesh-sharded path must still draw dropout from partitionable threefry —
+    XLA's RngBitGenerator stream is implementation-defined, with no
+    prefix-stability or SPMD-invariance guarantees (steps._dropout_key).
+    Proof: the DP generate under an 'rbg' config is BIT-equal to the
+    single-device generate under an explicit 'threefry' config."""
+    from palette_and_histo_gan_tpu.train.steps import make_generate_fn
+
+    config_rbg = config_for_variant("baseline-no-aug", donate_state=False)
+    assert config_rbg.dropout_prng == "rbg"  # production default
+    config_tf = config_for_variant(
+        "baseline-no-aug", donate_state=False, dropout_prng="threefry"
+    )
+    models = tiny_models(config_tf)
+    state = tiny_state(config_tf, models)
+
+    rng = np.random.default_rng(33)
+    src = jnp.asarray(rng.uniform(-1, 1, (6, 64, 64, 4)), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    single_tf = make_generate_fn(config_tf, models)(state.g_params, src, key)
+    state_r = mesh_mod.replicate_state(mesh8, state)
+    dp_rbg = dp_mod.make_dp_generate_fn(config_rbg, models, mesh8)(
+        state_r.g_params, src, key
+    )
+    np.testing.assert_array_equal(np.asarray(dp_rbg), np.asarray(single_tf))

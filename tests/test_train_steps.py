@@ -250,3 +250,35 @@ def test_indexed_step_finite_with_out_of_range_labels():
     for name, value in metrics.items():
         assert np.isfinite(float(value)), (name, float(value))
     assert _max_param_delta(state.g_params, new_state.g_params) > 0
+
+
+def test_dropout_key_selection_rules():
+    """steps._dropout_key: 'rbg' rewraps to the hardware RBG only off-mesh
+    and only up to RBG_GENERATE_MAX_BATCH; mesh-sharded and large-batch
+    callers keep the partitionable threefry key unchanged (the SPMD
+    bit-equality contract in parallel/dp.py; the measured large-batch
+    serving regression in docs/DESIGN.md)."""
+    from palette_and_histo_gan_tpu.config import config_for_variant
+    from palette_and_histo_gan_tpu.train.steps import (
+        RBG_GENERATE_MAX_BATCH,
+        _dropout_key,
+    )
+
+    cfg_rbg = config_for_variant("baseline-no-aug")
+    cfg_tf = config_for_variant("baseline-no-aug", dropout_prng="threefry")
+    key = jax.random.PRNGKey(3)
+
+    def impl_name(k):
+        return str(k.dtype) if jnp.issubdtype(k.dtype, jax.dtypes.prng_key) else "raw"
+
+    # threefry config: always pass-through
+    assert _dropout_key(cfg_tf, key) is key
+    # rbg config, single device, no/small batch: rewrapped to the RBG impl
+    assert "rbg" in impl_name(_dropout_key(cfg_rbg, key))
+    assert "rbg" in impl_name(
+        _dropout_key(cfg_rbg, key, batch=RBG_GENERATE_MAX_BATCH)
+    )
+    # mesh-sharded: unchanged (threefry), whatever the config says
+    assert _dropout_key(cfg_rbg, key, mesh=object()) is key
+    # above the measured serving crossover: unchanged
+    assert _dropout_key(cfg_rbg, key, batch=RBG_GENERATE_MAX_BATCH + 1) is key

@@ -142,17 +142,49 @@ def test_trainer_mini_fit(tmp_path, monkeypatch, variant):
     )
     trainer = trainer_mod.Trainer(config)
 
-    trainer.fit(steps=4, update_steps=2, callbacks=["evaluate_l1"])
+    # capture TB image writes at the class level (fit() constructs its own
+    # MetricsWriter; the tensorboardX backend may be absent in the test env —
+    # the Trainer contract is that it CALLS writer.image)
+    from palette_and_histo_gan_tpu.utils import logging as log_utils_mod
+
+    image_tags = []
+    real_image = log_utils_mod.MetricsWriter.image
+    monkeypatch.setattr(
+        log_utils_mod.MetricsWriter,
+        "image",
+        lambda self, name, img, step: (
+            image_tags.append((name, img.shape)),
+            real_image(self, name, img, step),
+        )[-1],
+    )
+
+    trainer.fit(
+        steps=4,
+        update_steps=2,
+        callbacks=["evaluate_l1", "show_discriminator_output"],
+    )
     assert int(trainer.state.step) == 4
     # checkpoint written at end
     assert trainer.manager.latest_step() == 4
     # phase breakdown accumulated every phase the run exercised
     for phase in ("train_chunk", "preview", "evaluate_l1", "checkpoint",
-                  "scalar_logging"):
+                  "scalar_logging", "discriminator_debug"):
         assert trainer.phase_seconds.get(phase, 0.0) > 0.0, phase
     # logs directory with preview images exists
     log_root = os.path.join(config.temp_folder, "logs", config.architecture_name, config.model)
     assert os.path.isdir(log_root)
+    # discriminator patch-map figures landed on disk AND went to the writer
+    # (the reference displays them inline, pix2pix_model.py:161-229; the CLI
+    # context persists them next to the preview grids)
+    import glob
+
+    debug_pngs = glob.glob(
+        os.path.join(log_root, "**", "discriminated_*_step_*_*.png"),
+        recursive=True,
+    )
+    assert len(debug_pngs) >= 4 * 2, debug_pngs  # 2 test + 2 train, 2 updates
+    debug_tags = [t for t, _ in image_tags if "discriminated_" in t]
+    assert len(debug_tags) >= 4 * 2, image_tags
 
 
 @needs_data
