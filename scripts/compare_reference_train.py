@@ -136,7 +136,7 @@ def train_indexed(steps: int, eval_every: int) -> dict:
     }
 
 
-def train(variant: str, steps: int, eval_every: int) -> dict:
+def train(variant: str, steps: int, eval_every: int, fid_at=()) -> dict:
     from palette_and_histo_gan_tpu.config import config_for_variant
     from palette_and_histo_gan_tpu.models import convert
     from palette_and_histo_gan_tpu.train.state import TrainState, build_models
@@ -187,19 +187,47 @@ def train(variant: str, steps: int, eval_every: int) -> dict:
         )
         return jnp.mean(jnp.abs(test_tgt - fake))
 
+    @jax.jit
+    def eval_fake(g_params):
+        return models.generator.apply(
+            {"params": g_params}, test_src, deterministic=True
+        )
+
+    fid_eval = None
+    if fid_at:
+        from palette_and_histo_gan_tpu.eval.fid import FidEvaluator
+
+        # PHG_INCEPTION_WEIGHTS (set in main) points at the shared-init
+        # npz scripts/make_shared_inception.py wrote — the SAME extractor
+        # the TF side loads as .weights.h5, so FIDs are comparable.
+        fid_eval = FidEvaluator(batch_size=44, reference_quirks=True)
+        real_acts = np.asarray(fid_eval.activations(np.asarray(test_tgt)))
+
+    # Per-step host fetches cost a tunnel RTT each (~29 ms; measured
+    # 1.3 s/step wall in the round-4 runs) — buffer the device-scalar
+    # metric dicts and fetch a whole window per eval instead.
     curves = {"g_total": [], "d_total": [], "g_adv": [], "g_l1": []}
+    pending = []
+
+    def flush():
+        for m in jax.device_get(pending):
+            curves["g_total"].append(float(m["generator/total_loss"]))
+            curves["d_total"].append(float(m["discriminator/total_loss"]))
+            curves["g_adv"].append(float(m["generator/adversarial_loss"]))
+            curves["g_l1"].append(float(m["generator/l1_loss"]))
+        pending.clear()
+
     eval_steps, eval_l1s = [], []
+    fid_steps, fid_values, fid_values_lowrank = [], [], []
     t0 = time.time()
     for k in range(steps):
         idx = order[k]
         state, metrics = step_fn(
             state, jnp.asarray(train_src_u8[idx]), jnp.asarray(train_tgt_u8[idx])
         )
-        curves["g_total"].append(float(metrics["generator/total_loss"]))
-        curves["d_total"].append(float(metrics["discriminator/total_loss"]))
-        curves["g_adv"].append(float(metrics["generator/adversarial_loss"]))
-        curves["g_l1"].append(float(metrics["generator/l1_loss"]))
+        pending.append(metrics)
         if (k + 1) % eval_every == 0 or k == 0:
+            flush()
             l1 = float(eval_l1(state.g_params))
             eval_steps.append(k + 1)
             eval_l1s.append(l1)
@@ -210,6 +238,28 @@ def train(variant: str, steps: int, eval_every: int) -> dict:
                 f"({time.time()-t0:6.1f}s)",
                 flush=True,
             )
+        if fid_eval is not None and (k + 1) in fid_at:
+            fake_acts = np.asarray(
+                fid_eval.activations(np.asarray(eval_fake(state.g_params)))
+            )
+            # scipy = the reference's exact CPU formula (comparable
+            # apples-to-apples with the TF side); lowrank = the build's
+            # production on-device path (exact for sample covariances)
+            fid = ref_regime.reference_fid_from_acts(real_acts, fake_acts)
+            fid_lr = float(
+                fid_eval._distance_lowrank(
+                    jnp.asarray(real_acts), jnp.asarray(fake_acts)
+                )
+            )
+            fid_steps.append(k + 1)
+            fid_values.append(fid)
+            fid_values_lowrank.append(fid_lr)
+            print(
+                f"step {k+1:5d}: FID {fid:10.6g} (scipy) {fid_lr:10.6g} "
+                "(lowrank, production)",
+                flush=True,
+            )
+    flush()
     wall = time.time() - t0
     return {
         "framework": f"jax-{jax.__version__} ({jax.default_backend()}, "
@@ -225,6 +275,11 @@ def train(variant: str, steps: int, eval_every: int) -> dict:
         "g_l1_window_means": ref_regime.window_means(curves["g_l1"]),
         "eval_steps": eval_steps,
         "eval_l1": eval_l1s,
+        "fid_steps": fid_steps,
+        "fid": fid_values,
+        "fid_lowrank": fid_values_lowrank,
+        "fid_features": "shared random-init InceptionV3 "
+        "(scripts/make_shared_inception.py)" if fid_steps else None,
     }
 
 
@@ -250,6 +305,13 @@ def compare(build: dict, ref: dict) -> None:
     for s, bv, rv in zip(build["eval_steps"], b, r):
         rel = abs(bv - rv) / max(abs(rv), 1e-9)
         print(f"  step {s:5d}: build {bv:7.4f}  ref {rv:7.4f}  rel {rel:6.1%}")
+    if build.get("fid") and ref.get("fid"):
+        print("FID curve (shared-init InceptionV3 features):")
+        for s, bv, rv in zip(build["fid_steps"], build["fid"], ref["fid"]):
+            rel = abs(bv - rv) / max(abs(rv), 1e-9)
+            print(
+                f"  step {s:5d}: build {bv:10.6g}  ref {rv:10.6g}  rel {rel:6.1%}"
+            )
 
 
 def main():
@@ -257,10 +319,15 @@ def main():
     ap.add_argument("--variant", default="baseline-no-aug")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--fid-at", default="", help="comma list of FID steps")
+    ap.add_argument("--inception-npz", default=ref_regime.SHARED_INCEPTION_NPZ)
     ap.add_argument("--reference", default="reference_train_tf.json")
     ap.add_argument("--out", default="build_train_jax.json")
     args = ap.parse_args()
-    result = train(args.variant, args.steps, args.eval_every)
+    fid_at = ref_regime.parse_fid_at(args.fid_at)
+    if fid_at:
+        os.environ["PHG_INCEPTION_WEIGHTS"] = os.path.abspath(args.inception_npz)
+    result = train(args.variant, args.steps, args.eval_every, fid_at=fid_at)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {args.out}: final test L1 {result['eval_l1'][-1]:.4f}")

@@ -130,6 +130,63 @@ def decode_indexed(idx_maps: np.ndarray, palettes: np.ndarray) -> np.ndarray:
     ).astype(np.float32)
 
 
+FID_STEPS = (2520, 5040, 10080)  # quarter/half/full reference schedule
+# (experiments.ipynb cell 10: 160 epochs x 63 steps = 10,080 steps)
+
+SHARED_INCEPTION_H5 = os.path.join(
+    os.path.dirname(__file__), "..", "artifacts", "inception_shared.weights.h5"
+)
+SHARED_INCEPTION_NPZ = os.path.join(
+    os.path.dirname(__file__), "..", "artifacts", "inception_shared.npz"
+)
+
+
+def fid_preprocess(images: np.ndarray) -> np.ndarray:
+    """The reference FID preprocessing chain, in numpy, for [-1, 1] RGBA
+    eval images (frechet_inception_distance.py:60-70 with the RGBA quirks
+    documented in eval/fid.py): skimage.transform.resize(img, (299,299,3),
+    order=0) — nearest-neighbor on H, W AND the channel axis (selecting
+    channels [0, 2, 3]) — followed by inception preprocess_input
+    (x/127.5 - 1). skimage itself is not installed on this host; the
+    coordinate mapping floor((o + 0.5) * in/out) is the one
+    eval/fid.py::_nn_indices pins (tests/test_fid.py)."""
+
+    def nn_idx(out_size, in_size):
+        o = np.arange(out_size, dtype=np.float64)
+        return np.clip(
+            np.floor((o + 0.5) * (in_size / out_size)).astype(np.int64),
+            0,
+            in_size - 1,
+        )
+
+    n, h, w, c = images.shape
+    iy, ix = nn_idx(299, h), nn_idx(299, w)
+    out = images[:, iy][:, :, ix]
+    if c != 3:
+        out = out[..., nn_idx(3, c)]
+    return out.astype(np.float32) / 127.5 - 1.0
+
+
+def reference_fid_from_acts(act1: np.ndarray, act2: np.ndarray) -> float:
+    """The reference FID formula verbatim from activations
+    (frechet_inception_distance.py:25-41): numpy.cov (rowvar=False, ddof=1),
+    scipy sqrtm with complex truncation."""
+    from scipy.linalg import sqrtm
+
+    mu1, sigma1 = act1.mean(axis=0), np.cov(act1, rowvar=False)
+    mu2, sigma2 = act2.mean(axis=0), np.cov(act2, rowvar=False)
+    ssdiff = np.sum((mu1 - mu2) ** 2.0)
+    covmean = sqrtm(sigma1.dot(sigma2))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(ssdiff + np.trace(sigma1 + sigma2 - 2.0 * covmean))
+
+
+def parse_fid_at(spec: str):
+    """'2520,5040,10080' -> sorted int list; '' -> []."""
+    return sorted(int(s) for s in spec.split(",") if s.strip())
+
+
 def window_means(values, n_windows: int = 5):
     """Mean over equal step windows — the macroscopic trajectory summary
     used for the cross-framework comparison (microscopic trajectories

@@ -148,10 +148,29 @@ def train_indexed(steps: int, eval_every: int) -> dict:
     }
 
 
-def train(variant: str, steps: int, eval_every: int) -> dict:
+def _load_shared_inception(h5_path: str):
+    """The shared-feature InceptionV3 for the cross-framework FID anchor:
+    the reference's exact constructor (frechet_inception_distance.py:76)
+    loaded with the weights scripts/make_shared_inception.py wrote (the
+    same weights the build consumes as a converted .npz)."""
+    model = tf.keras.applications.InceptionV3(
+        include_top=False, pooling="avg", input_shape=(299, 299, 3), weights=None
+    )
+    model.load_weights(h5_path)
+    return model
+
+
+def train(
+    variant: str,
+    steps: int,
+    eval_every: int,
+    fid_at=(),
+    inception_h5: str | None = None,
+) -> dict:
     if variant == "indexed":
         return train_indexed(steps, eval_every)
     assert variant in ("baseline-no-aug", "histogram")
+    inception = _load_shared_inception(inception_h5) if fid_at else None
     lambda_l1 = 100.0 if variant == "baseline-no-aug" else 30.0
     use_hist = variant == "histogram"
 
@@ -205,6 +224,15 @@ def train(variant: str, steps: int, eval_every: int) -> dict:
 
     curves = {"g_total": [], "d_total": [], "g_adv": [], "g_l1": []}
     eval_steps, eval_l1s = [], []
+    fid_steps, fid_values = [], []
+    # FID inputs are the [-1, 1] eval images straight from the variant's
+    # select_examples_for_evaluation (pix2pix_model.py:112-122 — the RGBA
+    # path never denormalizes; eval/fid.py documents the quirk chain)
+    real_acts = (
+        inception.predict(ref_regime.fid_preprocess(test_tgt.numpy()), verbose=0)
+        if inception is not None
+        else None
+    )
     t0 = time.time()
     for k in range(steps):
         idx = order[k]
@@ -225,6 +253,15 @@ def train(variant: str, steps: int, eval_every: int) -> dict:
                 f"({time.time()-t0:6.1f}s)",
                 flush=True,
             )
+        if inception is not None and (k + 1) in fid_at:
+            fake = generator_forward(gv, test_src, "tanh").numpy()
+            fake_acts = inception.predict(
+                ref_regime.fid_preprocess(fake), verbose=0
+            )
+            fid = ref_regime.reference_fid_from_acts(real_acts, fake_acts)
+            fid_steps.append(k + 1)
+            fid_values.append(fid)
+            print(f"step {k+1:5d}: FID {fid:10.6g} (shared-init features)", flush=True)
     wall = time.time() - t0
     return {
         "framework": f"tensorflow-{tf.__version__} (cpu, reference formulas)",
@@ -239,6 +276,10 @@ def train(variant: str, steps: int, eval_every: int) -> dict:
         "g_l1_window_means": ref_regime.window_means(curves["g_l1"]),
         "eval_steps": eval_steps,
         "eval_l1": eval_l1s,
+        "fid_steps": fid_steps,
+        "fid": fid_values,
+        "fid_features": "shared random-init InceptionV3 "
+        "(scripts/make_shared_inception.py)" if fid_steps else None,
     }
 
 
@@ -247,9 +288,17 @@ def main():
     ap.add_argument("--variant", default="baseline-no-aug")
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--eval-every", type=int, default=100)
+    ap.add_argument("--fid-at", default="", help="comma list of FID steps")
+    ap.add_argument("--inception-h5", default=ref_regime.SHARED_INCEPTION_H5)
     ap.add_argument("--out", default="reference_train_tf.json")
     args = ap.parse_args()
-    result = train(args.variant, args.steps, args.eval_every)
+    result = train(
+        args.variant,
+        args.steps,
+        args.eval_every,
+        fid_at=ref_regime.parse_fid_at(args.fid_at),
+        inception_h5=args.inception_h5,
+    )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"wrote {args.out}: final test L1 {result['eval_l1'][-1]:.4f}")
