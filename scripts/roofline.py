@@ -68,19 +68,30 @@ def parse_hlo_bytes(hlo_path: str) -> dict:
     def_re = re.compile(r"^\s+(?:ROOT )?%([\w.\-]+) = (.*)$")
     # "<shapes> <opcode>(<operand list>)": shapes (possibly a tuple, with
     # layout annotations that themselves contain parens like T(8,128)) up
-    # to the first LOWERCASE opcode token followed by '('; the operand
-    # list holds only %refs and literals, never nested parens, so
-    # non-greedy-to-first-')' is safe. calls=%.../to_apply=%... come after
-    # the operand parens and must not count as operands.
-    line_re = re.compile(r"^(.*?) ([a-z][\w\-]*)\(([^)]*)\)")
+    # to the first LOWERCASE opcode token followed by '('. The operand list
+    # itself may ALSO carry layout-annotated shapes when the dump prints
+    # operand types (e.g. "fusion(f32[8,4]{1,0:T(8,128)} %a, %b)"), so it
+    # must be cut at the BALANCED closing paren, not the first ')'.
+    # calls=%.../to_apply=%... come after the operand parens and must not
+    # count as operands.
+    head_re = re.compile(r"^(.*?) ([a-z][\w\-]*)\(")
     for line in open(hlo_path):
         m = def_re.match(line)
         if not m:
             continue
         name, rest = m.group(1), m.group(2)
-        lm = line_re.match(rest)
+        lm = head_re.match(rest)
         if lm:
-            shapes_part, op_list = lm.group(1), lm.group(3)
+            shapes_part = lm.group(1)
+            depth, start = 1, lm.end()
+            i = start
+            while i < len(rest) and depth:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                i += 1
+            op_list = rest[start : i - 1]
         else:
             shapes_part, op_list = rest, ""
         result_bytes[name] = sum(

@@ -82,3 +82,26 @@ ENTRY %e (a: f32[8,4]) -> (f32[1024], f32[8,4]) {
         assert b["fus"] == (1024 * 4 + 8 * 4 * 4, 128 + 4096)
         assert b["a"][0] == 128
         assert b["big"][0] == 4096
+
+    def test_hlo_bytes_operand_shapes_with_layout_parens(self, tmp_path):
+        # some dump modes print operand TYPES inside the operand list, whose
+        # layout annotations contain parens — the operand scan must cut at
+        # the BALANCED ')' or it silently drops every operand after the
+        # first annotation (undercounting HBM floors)
+        hlo = """
+HloModule m
+
+ENTRY %e (a: f32[8,4]) -> f32[8,4] {
+  %a = f32[8,4]{1,0:T(8,128)} parameter(0)
+  %b = f32[8,4]{1,0:T(8,128)} parameter(1)
+  ROOT %m = f32[8,4]{1,0:T(8,128)} multiply(f32[8,4]{1,0:T(8,128)} %a, f32[8,4]{1,0:T(8,128)} %b), metadata={op_name="mul"}
+}
+"""
+        path = tmp_path / "hlo2.txt"
+        path.write_text(hlo)
+        from roofline import parse_hlo_bytes
+
+        b = parse_hlo_bytes(str(path))
+        # both operands must be counted (128 B each) despite T(8,128)
+        # parens inside the operand list
+        assert b["m"] == (128, 256)
