@@ -10,15 +10,18 @@ compiled program's optimized HLO to get every op's actual HBM traffic
 group:
 
   measured ms | HBM floor (bytes / 819 GB/s) | MXU floor (analytic FLOPs
-  from utils/flops.py at 197 bf16-TFLOP/s) | ratio to max(floor)
+  from utils/flops.py at 197 bf16-TFLOP/s) | VPU floor (elementwise
+  lane-ops counted from the optimized HLO — fused computations summed
+  into their fusions — at the calibrated 4.5 T lane-op/s) | ratio to
+  max(floor)
 
 plus the composite: step measured vs sum-of-group-floors, i.e. "the step is
-X% above its composite max(HBM, MXU) floor". Groups far above both floors
-are either VPU-bound (the histogram backward — certified compute-bound by
-the round-3 bandwidth accounting and the 8-structure experiment matrix,
-docs/DESIGN.md) or the next optimization target.
+X% above its composite max(HBM, MXU, VPU) floor". Groups far above all
+three floors are the next optimization target.
 
-v5e-1 peaks used: 819 GB/s HBM, 197 TFLOP/s bf16 MXU.
+v5e-1 peaks used: 819 GB/s HBM, 197 TFLOP/s bf16 MXU, 4.5 T VPU
+lane-ops/s (calibrated by the round-3 histogram-backward per-fusion
+certification, docs/DESIGN.md).
 
 Usage:
     python scripts/roofline.py [--variant histogram] [--batch 1024]
@@ -105,6 +108,165 @@ def parse_hlo_bytes(hlo_path: str) -> dict:
             sum(result_bytes.get(o, 0) for o in operands.get(name, ())),
         )
     return out
+
+
+# v5e VPU peak, lane-ops/s: 8x128 lanes x 4 ALUs = 4096 lane-ops/cycle,
+# at the ~1.5 GHz core clock the 197 bf16-TFLOP/s MXU peak implies
+# (197e12 / (4 MXUs x 128x128 MACs x 2 flops) = 1.5e9) -> 6.1e12. A
+# HARDWARE peak, deliberately above the ~4-5 T effective rate the round-3
+# hist-bwd hand accounting used: floors must undercount. Measured
+# validation: the nine certified hist-bwd fusions run at 84-88% of this
+# peak (docs/DESIGN.md round-5 VPU column).
+VPU_PEAK = 6.1e12
+
+# Per-opcode VPU lane-op weights for the floor. Deliberately OPTIMISTIC
+# (a floor must undercount, never overcount): every elementwise op is 1
+# lane-op per RESULT element — including divides and transcendentals,
+# which really run multi-pass; reductions are 1 per INPUT element; data
+# movement (copy/reshape/broadcast/slice/gather/...) and MXU ops
+# (dot/convolution) are 0 — their costs live in the HBM and MXU columns.
+_VPU_ZERO = frozenset(
+    "parameter constant bitcast bitcast-convert tuple get-tuple-element "
+    "reshape transpose broadcast iota copy copy-start copy-done slice pad "
+    "concatenate gather scatter dynamic-slice dynamic-update-slice "
+    "dot convolution custom-call fusion while conditional call "
+    "rng-bit-generator after-all infeed outfeed partition-id replica-id "
+    "send recv get-dimension-size".split()
+)
+_VPU_REDUCE = frozenset(("reduce", "reduce-window", "select-and-scatter"))
+
+
+def _elems(dims: str) -> int:
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n
+
+
+def parse_hlo_defs(hlo_path: str) -> dict:
+    """name -> dict(opcode, elems, bytes, operands, calls, comp) for every
+    instruction in the module (all computations — fused computations
+    included, so fusion VPU work can be summed from their members)."""
+    defs = {}
+    members = collections.defaultdict(list)
+    def_re = re.compile(r"^\s+(?:ROOT )?%([\w.\-]+) = (.*)$")
+    head_re = re.compile(r"^(.*?) ([a-z][\w\-]*)\(")
+    comp_re = re.compile(r"^(?:ENTRY )?%([\w.\-]+) \(")
+    cur_comp = None
+    for line in open(hlo_path):
+        cm = comp_re.match(line)
+        if cm:
+            cur_comp = cm.group(1)
+            continue
+        m = def_re.match(line)
+        if not m:
+            continue
+        name, rest = m.group(1), m.group(2)
+        lm = head_re.match(rest)
+        if lm:
+            shapes_part, opcode = lm.group(1), lm.group(2)
+            depth, start = 1, lm.end()
+            i = start
+            while i < len(rest) and depth:
+                if rest[i] == "(":
+                    depth += 1
+                elif rest[i] == ")":
+                    depth -= 1
+                i += 1
+            op_list = rest[start : i - 1]
+        else:
+            shapes_part, opcode, op_list = rest, "", ""
+        shapes = _SHAPE_RE.findall(shapes_part)
+        callm = re.search(r"(?:calls|to_apply)=%([\w.\-]+)", rest)
+        cyc = re.search(r'estimated_cycles\\?":\\?"(\d+)', rest)
+        defs[name] = {
+            "opcode": opcode,
+            "elems": sum(_elems(d) for _, d in shapes),
+            "dims": tuple(
+                int(x) for x in shapes[0][1].split(",") if x
+            ) if shapes else (),
+            "bytes": sum(_shape_bytes(t, d) for t, d in shapes),
+            "operands": re.findall(r"%([\w.\-]+)", op_list),
+            "calls": callm.group(1) if callm else "",
+            "comp": cur_comp,
+            "cycles": int(cyc.group(1)) if cyc else 0,
+            "raw": rest if opcode in ("convolution", "dot") else "",
+        }
+        members[cur_comp].append(name)
+    return defs, members
+
+
+def mxu_flops_of(name: str, defs: dict, members: dict, _depth: int = 0) -> float:
+    """Analytic MXU FLOPs of one instruction from the HLO itself
+    (convolutions and dots, fusions summed over their members) — the
+    per-op counterpart of utils/flops.py's per-model totals."""
+    d = defs.get(name)
+    if d is None or _depth > 2:
+        return 0.0
+    op = d["opcode"]
+    if op == "fusion" and d["calls"]:
+        return sum(
+            mxu_flops_of(m, defs, members, _depth + 1)
+            for m in members.get(d["calls"], ())
+        )
+    if op == "convolution":
+        m = re.search(r"dim_labels=([\w?]+)_([\w?]+)->([\w?]+)", d["raw"])
+        kref = d["operands"][1] if len(d["operands"]) > 1 else None
+        if not m or kref not in defs:
+            return 0.0
+        klabels = m.group(2)  # e.g. 01io: kernel spatial/in/out positions
+        kdims = defs[kref]["dims"]
+        if len(kdims) != len(klabels):
+            return 0.0
+        in_feat = kdims[klabels.index("i")]  # already per-feature-group
+        spatial = 1
+        for pos, lab in enumerate(klabels):
+            if lab.isdigit():
+                spatial *= kdims[pos]
+        return 2.0 * d["elems"] * in_feat * spatial
+    if op == "dot":
+        m = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", d["raw"])
+        lref = d["operands"][0] if d["operands"] else None
+        if not m or lref not in defs:
+            return 0.0
+        ldims = defs[lref]["dims"]
+        contracted = 1
+        for s in m.group(1).split(","):
+            if s:
+                contracted *= ldims[int(s)]
+        return 2.0 * d["elems"] * contracted
+    return 0.0
+
+
+def cycles_of(name: str, defs: dict) -> int:
+    d = defs.get(name)
+    return d["cycles"] if d else 0
+
+
+def vpu_ops_of(name: str, defs: dict, members: dict, _depth: int = 0) -> float:
+    """Analytic VPU lane-op count of one instruction, fusions included
+    (sums the called computation's members, recursing one level for
+    nested fusions)."""
+    d = defs.get(name)
+    if d is None or _depth > 2:
+        return 0.0
+    op = d["opcode"]
+    if op == "fusion" and d["calls"]:
+        return sum(
+            vpu_ops_of(m, defs, members, _depth + 1)
+            for m in members.get(d["calls"], ())
+        )
+    if op in _VPU_ZERO:
+        return 0.0
+    if op in _VPU_REDUCE:
+        # a reduce's operands are N arrays then N init scalars — every
+        # array element passes through an ALU once (variadic stats
+        # reduces like InstanceNorm's (sum, sum_sq) count both inputs)
+        ops = d["operands"]
+        arrays = ops[: len(ops) // 2] if len(ops) >= 2 else ops
+        return float(sum(defs[o]["elems"] for o in arrays if o in defs))
+    return float(d["elems"])
 
 
 def load_trace(log_dir: str):
@@ -242,6 +404,27 @@ def mxu_group_floors(config, batch: int) -> dict:
     return {k: v / MXU_PEAK for k, v in groups.items()}
 
 
+# Hand-counted VPU lane-ops per pixel-channel element of the fused Pallas
+# augmentation (ops/augment_pallas.py::_augment_kernel_packed; the kernel
+# is a custom call, so its interior is invisible to the HLO-derived count).
+# Per uint8 channel element: unpack shift+and+convert (3), planar hue
+# chain amortized over the pixel's 4 channels (vmax/mn 4, range+guarded
+# reciprocal 4, hr/hg/hb 9, hue select 5, dh 2, piecewise dr/dg/db 12,
+# recombine mn+rng*d 6 -> ~42/pixel ~= 10.5/element), translation masks
+# (iota compares + bounds + select ~4), keep-select + normalize of both
+# the augmented and original paths (~5), output convert (1) ~= 24 ops.
+# Deliberately optimistic: int lane ops and multi-pass divides count 1.
+AUGMENT_VPU_OPS_PER_ELEMENT = 24.0
+
+
+def augment_vpu_ops(config, batch: int) -> float:
+    """Analytic VPU lane-ops of the paired augmentation per STEP."""
+    if not config.uses_augmentation:
+        return 0.0
+    per_image = config.img_size * config.img_size * config.input_channels
+    return AUGMENT_VPU_OPS_PER_ELEMENT * 2.0 * per_image * batch
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="histogram")
@@ -251,6 +434,14 @@ def main():
     p.add_argument("--log-dir", default="/tmp/phg_roofline")
     p.add_argument("--aggregate-only", action="store_true")
     p.add_argument("--json-out", default="")
+    p.add_argument(
+        "--per-fusion",
+        default="",
+        help="print a per-op certification table for this group: measured "
+        "vs HBM/VPU floors, HLO-derived MXU occupancy (MAC slots the "
+        "lowering actually grinds through, zeros included), and XLA's own "
+        "estimated_cycles at the 1.5 GHz clock",
+    )
     args = p.parse_args()
 
     if not args.aggregate_only:
@@ -265,7 +456,9 @@ def main():
         )
 
     by_name, opname, steps, meta = load_trace(args.log_dir)
-    hbm = parse_hlo_bytes(os.path.join(args.log_dir, "trace_ops_hlo.txt"))
+    hlo_path = os.path.join(args.log_dir, "trace_ops_hlo.txt")
+    hbm = parse_hlo_bytes(hlo_path)
+    defs, comp_members = parse_hlo_defs(hlo_path)
 
     from palette_and_histo_gan_tpu.config import config_for_variant
 
@@ -276,11 +469,51 @@ def main():
 
     meas = collections.Counter()
     hbm_floor = collections.Counter()
+    vpu_floor = collections.Counter()
     for key, dur in by_name.items():
         grp = group_of(key, opname.get(key, ""))
         meas[grp] += dur / steps
         res_b, op_b = hbm.get(key, (0, 0))
         hbm_floor[grp] += (res_b + op_b) / HBM_BW
+        vpu_floor[grp] += vpu_ops_of(key, defs, comp_members) / VPU_PEAK
+    # the Pallas augmentation is a custom call — its interior VPU work is
+    # invisible to the HLO-derived count, so use the kernel hand count
+    if vpu_floor.get("augment", 0.0) * VPU_PEAK < 1e6 and "augment" in meas:
+        vpu_floor["augment"] = augment_vpu_ops(config, meta["batch"]) / VPU_PEAK
+
+    if args.per_fusion:
+        tgt = args.per_fusion
+        ops = sorted(
+            (
+                (dur / steps, key)
+                for key, dur in by_name.items()
+                if group_of(key, opname.get(key, "")) == tgt
+            ),
+            reverse=True,
+        )
+        print(
+            f"{'op':28s} {'meas':>7s} {'HBM':>7s} {'MXUocc':>7s} {'VPU':>7s}"
+            f" {'XLAest':>7s}  op_name"
+        )
+        tot = {"m": 0.0, "h": 0.0, "x": 0.0, "v": 0.0, "e": 0.0}
+        for dur, key in ops:
+            res_b, op_b = hbm.get(key, (0, 0))
+            h = (res_b + op_b) / HBM_BW * 1e3
+            x = mxu_flops_of(key, defs, comp_members) / MXU_PEAK * 1e3
+            v = vpu_ops_of(key, defs, comp_members) / VPU_PEAK * 1e3
+            e = cycles_of(key, defs) / 1.5e9 * 1e3
+            m = dur * 1e3
+            tot["m"] += m; tot["h"] += h; tot["x"] += x; tot["v"] += v
+            tot["e"] += e
+            print(
+                f"{key[:28]:28s} {m:6.3f}m {h:6.3f}m {x:6.3f}m {v:6.3f}m"
+                f" {e:6.3f}m  {opname.get(key, '')[:60]}"
+            )
+        print(
+            f"{'TOTAL ' + tgt:28s} {tot['m']:6.3f}m {tot['h']:6.3f}m"
+            f" {tot['x']:6.3f}m {tot['v']:6.3f}m {tot['e']:6.3f}m"
+        )
+        return
 
     rows = []
     total_meas = total_floor = 0.0
@@ -289,15 +522,19 @@ def main():
         no_floor = grp in NO_FLOOR_GROUPS
         hf = 0.0 if no_floor else hbm_floor[grp] * 1e3
         mf = mxu.get(grp, 0.0) * 1e3
-        floor = max(hf, mf)
+        vf = 0.0 if no_floor else vpu_floor[grp] * 1e3
+        floor = max(hf, mf, vf)
+        bound = "n/a (overlapped/alias)"
+        if not no_floor:
+            bound = {hf: "hbm", mf: "mxu", vf: "vpu"}[floor]
         rows.append(
             {
                 "group": grp,
                 "measured_ms": round(m, 3),
                 "hbm_floor_ms": round(hf, 3),
                 "mxu_floor_ms": round(mf, 3),
-                "bound": "n/a (overlapped/alias)" if no_floor
-                else ("mxu" if mf > hf else "hbm"),
+                "vpu_floor_ms": round(vf, 3),
+                "bound": bound,
                 "ratio": round(m / floor, 2) if floor > 0 else None,
             }
         )
@@ -306,19 +543,20 @@ def main():
 
     print(
         f"{'group':14s} {'measured':>9s} {'HBM floor':>10s} {'MXU floor':>10s}"
-        f" {'bound':>5s} {'ratio':>6s}"
+        f" {'VPU floor':>10s} {'bound':>5s} {'ratio':>6s}"
     )
     for r in rows:
         ratio = f"{r['ratio']:.2f}x" if r["ratio"] else "  -  "
         bound = r["bound"].split(" ")[0]
         print(
             f"{r['group']:14s} {r['measured_ms']:8.3f}m {r['hbm_floor_ms']:9.3f}m"
-            f" {r['mxu_floor_ms']:9.3f}m {bound:>5s} {ratio:>6s}"
+            f" {r['mxu_floor_ms']:9.3f}m {r['vpu_floor_ms']:9.3f}m"
+            f" {bound:>5s} {ratio:>6s}"
         )
     print(
-        f"{'TOTAL':14s} {total_meas:8.3f}m {'':>10s} {total_floor:9.3f}m"
+        f"{'TOTAL':14s} {total_meas:8.3f}m {'':>21s} {total_floor:9.3f}m"
         f"  -> step is {total_meas/total_floor:.2f}x its composite "
-        f"max(HBM,MXU) floor ({(total_meas/total_floor-1)*100:.0f}% above)"
+        f"max(HBM,MXU,VPU) floor ({(total_meas/total_floor-1)*100:.0f}% above)"
     )
     if args.json_out:
         with open(args.json_out, "w") as f:

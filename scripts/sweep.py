@@ -131,7 +131,11 @@ def measure_variant(
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batches", type=int, nargs="*", default=[64, 256, 1024])
+    # 4 and 16 cover the reference's true operating regime (configuration
+    # batch=4) and the latency-bound low end; 64-1024 the throughput ladder
+    p.add_argument(
+        "--batches", type=int, nargs="*", default=[4, 16, 64, 256, 1024]
+    )
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument(
