@@ -105,3 +105,44 @@ ENTRY %e (a: f32[8,4]) -> f32[8,4] {
         # both operands must be counted (128 B each) despite T(8,128)
         # parens inside the operand list
         assert b["m"] == (128, 256)
+
+    def test_vpu_and_mxu_op_counting(self, tmp_path):
+        # VPU: elementwise = result elems, reduce = input elems, data
+        # movement and MXU ops = 0; fusions sum their called computation.
+        # MXU: conv FLOPs = 2 * out_elems * kernel_in * kernel_spatial,
+        # dot FLOPs = 2 * out_elems * contracted.
+        hlo = """
+HloModule m
+
+%fc (p0: f32[8,64]) -> f32[8] {
+  %p0 = f32[8,64] parameter(0)
+  %e = f32[8,64] exponential(%p0)
+  %c = f32[] constant(0)
+  ROOT %r = f32[8] reduce(%e, %c), dimensions={1}, to_apply=%add
+}
+
+ENTRY %e (a: f32[8,64]) -> f32[8] {
+  %a = f32[8,64] parameter(0)
+  %k = bf16[4,4,8,16] parameter(1)
+  %x = bf16[2,32,32,8] parameter(2)
+  %cv = bf16[2,16,16,16] convolution(%x, %k), window={size=4x4 stride=2x2}, dim_labels=b01f_01io->b01f
+  %lhs = f32[8,64] parameter(3)
+  %rhs = f32[64,32] parameter(4)
+  %d = f32[8,32] dot(%lhs, %rhs), lhs_contracting_dims={1}, rhs_contracting_dims={0}
+  ROOT %f = f32[8] fusion(%a), kind=kLoop, calls=%fc
+}
+"""
+        path = tmp_path / "hlo3.txt"
+        path.write_text(hlo)
+        from roofline import mxu_flops_of, parse_hlo_defs, vpu_ops_of
+
+        defs, members = parse_hlo_defs(str(path))
+        # fusion %f sums %fc: exp (8*64) + reduce over its input (8*64)
+        assert vpu_ops_of("f", defs, members) == 8 * 64 * 2
+        # conv: 2 * (2*16*16*16) * in_feat 8 * spatial 16
+        assert mxu_flops_of("cv", defs, members) == 2 * (2 * 16 * 16 * 16) * 8 * 16
+        # dot: 2 * (8*32) * 64
+        assert mxu_flops_of("d", defs, members) == 2 * 8 * 32 * 64
+        # elementwise ops are zero MXU; convs/dots are zero VPU
+        assert mxu_flops_of("f", defs, members) == 0
+        assert vpu_ops_of("cv", defs, members) == 0
