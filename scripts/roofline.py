@@ -197,17 +197,24 @@ def parse_hlo_defs(hlo_path: str) -> dict:
     return defs, members
 
 
-def mxu_flops_of(name: str, defs: dict, members: dict, _depth: int = 0) -> float:
+def mxu_flops_of(
+    name: str, defs: dict, members: dict, _depth: int = 0, useful: bool = False
+) -> float:
     """Analytic MXU FLOPs of one instruction from the HLO itself
     (convolutions and dots, fusions summed over their members) — the
-    per-op counterpart of utils/flops.py's per-model totals."""
+    per-op counterpart of utils/flops.py's per-model totals.
+
+    useful=False counts MAC SLOTS the lowering occupies (input-dilated
+    convT forms include the zero positions the systolic array grinds
+    through if lowered naively); useful=True divides out the lhs_dilation
+    product — the algorithmic minimum, matching utils/flops.py."""
     d = defs.get(name)
     if d is None or _depth > 2:
         return 0.0
     op = d["opcode"]
     if op == "fusion" and d["calls"]:
         return sum(
-            mxu_flops_of(m, defs, members, _depth + 1)
+            mxu_flops_of(m, defs, members, _depth + 1, useful)
             for m in members.get(d["calls"], ())
         )
     if op == "convolution":
@@ -224,7 +231,13 @@ def mxu_flops_of(name: str, defs: dict, members: dict, _depth: int = 0) -> float
         for pos, lab in enumerate(klabels):
             if lab.isdigit():
                 spatial *= kdims[pos]
-        return 2.0 * d["elems"] * in_feat * spatial
+        flops = 2.0 * d["elems"] * in_feat * spatial
+        if useful:
+            dil = re.search(r"lhs_dilate=([\dx]+)", d["raw"])
+            if dil:
+                for f in dil.group(1).split("x"):
+                    flops /= max(int(f), 1)
+        return flops
     if op == "dot":
         m = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", d["raw"])
         lref = d["operands"][0] if d["operands"] else None
@@ -470,12 +483,20 @@ def main():
     meas = collections.Counter()
     hbm_floor = collections.Counter()
     vpu_floor = collections.Counter()
+    perop_floor = collections.Counter()
     for key, dur in by_name.items():
         grp = group_of(key, opname.get(key, ""))
         meas[grp] += dur / steps
         res_b, op_b = hbm.get(key, (0, 0))
-        hbm_floor[grp] += (res_b + op_b) / HBM_BW
-        vpu_floor[grp] += vpu_ops_of(key, defs, comp_members) / VPU_PEAK
+        h_op = (res_b + op_b) / HBM_BW
+        v_op = vpu_ops_of(key, defs, comp_members) / VPU_PEAK
+        u_op = mxu_flops_of(key, defs, comp_members, useful=True) / MXU_PEAK
+        hbm_floor[grp] += h_op
+        vpu_floor[grp] += v_op
+        # per-op composite: each op individually cannot beat ANY of its
+        # unit floors (useful-MXU per op from the HLO conv/dot shapes) —
+        # finer-grained than the group-level max, reported alongside it
+        perop_floor[grp] += max(h_op, v_op, u_op)
     # the Pallas augmentation is a custom call — its interior VPU work is
     # invisible to the HLO-derived count, so use the kernel hand count
     if vpu_floor.get("augment", 0.0) * VPU_PEAK < 1e6 and "augment" in meas:
@@ -492,37 +513,50 @@ def main():
             reverse=True,
         )
         print(
-            f"{'op':28s} {'meas':>7s} {'HBM':>7s} {'MXUocc':>7s} {'VPU':>7s}"
-            f" {'XLAest':>7s}  op_name"
+            f"{'op':28s} {'meas':>7s} {'HBM':>7s} {'MXUocc':>7s} {'MXUuse':>7s}"
+            f" {'VPU':>7s} {'XLAest':>7s} {'ratio':>6s}  op_name"
         )
-        tot = {"m": 0.0, "h": 0.0, "x": 0.0, "v": 0.0, "e": 0.0}
+        tot = {"m": 0.0, "h": 0.0, "x": 0.0, "u": 0.0, "v": 0.0, "e": 0.0,
+               "fl": 0.0}
         for dur, key in ops:
             res_b, op_b = hbm.get(key, (0, 0))
             h = (res_b + op_b) / HBM_BW * 1e3
             x = mxu_flops_of(key, defs, comp_members) / MXU_PEAK * 1e3
+            u = mxu_flops_of(key, defs, comp_members, useful=True) / MXU_PEAK * 1e3
             v = vpu_ops_of(key, defs, comp_members) / VPU_PEAK * 1e3
             e = cycles_of(key, defs) / 1.5e9 * 1e3
             m = dur * 1e3
-            tot["m"] += m; tot["h"] += h; tot["x"] += x; tot["v"] += v
-            tot["e"] += e
+            fl = max(h, u, v)  # per-op composite: algorithmic triple floor
+            tot["m"] += m; tot["h"] += h; tot["x"] += x; tot["u"] += u
+            tot["v"] += v; tot["e"] += e; tot["fl"] += fl
+            ratio = f"{m / fl:5.2f}x" if fl > 0 else "   - "
             print(
-                f"{key[:28]:28s} {m:6.3f}m {h:6.3f}m {x:6.3f}m {v:6.3f}m"
-                f" {e:6.3f}m  {opname.get(key, '')[:60]}"
+                f"{key[:28]:28s} {m:6.3f}m {h:6.3f}m {x:6.3f}m {u:6.3f}m"
+                f" {v:6.3f}m {e:6.3f}m {ratio:>6s}  {opname.get(key, '')[:56]}"
             )
         print(
             f"{'TOTAL ' + tgt:28s} {tot['m']:6.3f}m {tot['h']:6.3f}m"
-            f" {tot['x']:6.3f}m {tot['v']:6.3f}m {tot['e']:6.3f}m"
+            f" {tot['x']:6.3f}m {tot['u']:6.3f}m {tot['v']:6.3f}m"
+            f" {tot['e']:6.3f}m"
         )
+        if tot["fl"] > 0:
+            print(
+                f"per-op composite floor sum(max(HBM,MXUuse,VPU)) ="
+                f" {tot['fl']:.3f}m -> group is {tot['m']/tot['fl']:.2f}x"
+                f" its per-op floor; XLA's own estimate prices it at"
+                f" {tot['e']:.3f}m ({tot['m']/max(tot['e'],1e-9):.2f}x measured/est)"
+            )
         return
 
     rows = []
-    total_meas = total_floor = 0.0
+    total_meas = total_floor = total_perop = 0.0
     for grp in sorted(meas, key=lambda g: -meas[g]):
         m = meas[grp] * 1e3
         no_floor = grp in NO_FLOOR_GROUPS
         hf = 0.0 if no_floor else hbm_floor[grp] * 1e3
         mf = mxu.get(grp, 0.0) * 1e3
         vf = 0.0 if no_floor else vpu_floor[grp] * 1e3
+        pf = 0.0 if no_floor else max(perop_floor[grp] * 1e3, hf, mf, vf)
         floor = max(hf, mf, vf)
         bound = "n/a (overlapped/alias)"
         if not no_floor:
@@ -534,12 +568,15 @@ def main():
                 "hbm_floor_ms": round(hf, 3),
                 "mxu_floor_ms": round(mf, 3),
                 "vpu_floor_ms": round(vf, 3),
+                "per_op_floor_ms": round(pf, 3),
                 "bound": bound,
                 "ratio": round(m / floor, 2) if floor > 0 else None,
+                "per_op_ratio": round(m / pf, 2) if pf > 0 else None,
             }
         )
         total_meas += m
         total_floor += floor
+        total_perop += pf
 
     print(
         f"{'group':14s} {'measured':>9s} {'HBM floor':>10s} {'MXU floor':>10s}"
@@ -558,6 +595,10 @@ def main():
         f"  -> step is {total_meas/total_floor:.2f}x its composite "
         f"max(HBM,MXU,VPU) floor ({(total_meas/total_floor-1)*100:.0f}% above)"
     )
+    print(
+        f"per-op composite (sum over ops of max(HBM,MXUuseful,VPU)):"
+        f" {total_perop:.3f}m -> {total_meas/total_perop:.2f}x"
+    )
     if args.json_out:
         with open(args.json_out, "w") as f:
             json.dump(
@@ -569,6 +610,8 @@ def main():
                     "total_measured_ms": round(total_meas, 2),
                     "total_floor_ms": round(total_floor, 2),
                     "ratio": round(total_meas / total_floor, 3),
+                    "total_per_op_floor_ms": round(total_perop, 2),
+                    "per_op_ratio": round(total_meas / total_perop, 3),
                 },
                 f,
                 indent=1,
