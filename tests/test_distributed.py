@@ -174,12 +174,27 @@ def _result(proc: subprocess.Popen, timeout: int = 540) -> dict:
 
 def _fanout(nprocs: int, variant: str = "baseline", action: str = "train",
             ckpt_dir: str = "") -> list[dict]:
-    port = _free_port()
-    procs = [
-        _run_worker(port, pid, nprocs, variant, action, ckpt_dir)
-        for pid in range(nprocs)
-    ]
-    return [_result(p) for p in procs]
+    # Gloo's rendezvous has a fixed ~30 s KV-exchange deadline INSIDE the
+    # first collective; on this 1-core host a loaded scheduler can delay a
+    # peer past it (observed under a concurrent TF training run). That is
+    # environment scheduling, not the property under test — retry the
+    # whole fanout on that exact signature only.
+    for attempt in range(3):
+        port = _free_port()
+        procs = [
+            _run_worker(port, pid, nprocs, variant, action, ckpt_dir)
+            for pid in range(nprocs)
+        ]
+        try:
+            return [_result(p) for p in procs]
+        except AssertionError as e:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            transient = "DEADLINE_EXCEEDED" in str(e) or "Gloo context" in str(e)
+            if attempt == 2 or not transient:
+                raise
+    raise AssertionError("unreachable")
 
 
 @pytest.mark.slow
