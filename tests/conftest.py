@@ -39,6 +39,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# persistent compilation cache: the suite is compile-dominated on this
+# 1-core host; caching executables across tests/runs cuts wall time and
+# collapses the multi-process compile skew tests/test_distributed.py's
+# workers are sensitive to (they set the same cache themselves)
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 try:
     from jax._src import xla_bridge as _xb
 

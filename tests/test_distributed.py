@@ -48,6 +48,13 @@ variant, action, ckpt_dir = sys.argv[4], sys.argv[5], sys.argv[6]
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4 // nprocs)
+# persistent compilation cache: on the 1-core host, N concurrent workers
+# each cold-compiling the chunk skews their finish times past the
+# coordination service's shutdown barrier (observed as 'Shutdown barrier
+# timed out' with 4 processes in a loaded full-suite run); cached
+# executables collapse the skew for retries and re-runs
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 sys.path.insert(0, {repo!r})
 from palette_and_histo_gan_tpu.parallel import distributed
 if nprocs > 1:
@@ -56,6 +63,14 @@ if nprocs > 1:
     assert info["process_count"] == nprocs, info
     assert info["local_devices"] == 4 // nprocs, info
     assert info["global_devices"] == 4, info
+    # Form the global Gloo communicator NOW, while initialize() has all
+    # processes aligned (its connect is a barrier): Gloo's KV rendezvous
+    # has a fixed ~30 s deadline, and the natural first collective only
+    # happens after minutes of per-worker trace/compile that the 1-core
+    # host serializes — 4-way skew there exceeds the deadline
+    # deterministically. The chunk's collectives reuse this context.
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("gloo-context-warmup")
 
 import json
 import numpy as np
